@@ -1,0 +1,151 @@
+"""The fused per-video feature pipeline (flagship compute path).
+
+Replaces the reference's filesystem-mediated chain (ffmpeg PNGs -> cv2 ops ->
+per-frame batch=1 backbone forwards -> npy files;
+``/root/reference/src/main_fragment_layerstack.py:251-364`` and
+``src/demo_test.py:51-219``) with two jitted XLA programs:
+
+- ``frame_features(frames)``: full-frame ResNet layer-stack + ViT pool stats,
+  batched over sampled frames.
+- ``pair_features(prev, nxt)``: residual -> fragment selection -> Farneback
+  flow -> flow fragment -> merge -> backbones, batched over frame pairs, with
+  ori/merged fragments stacked into ONE backbone batch each.
+
+Inputs are uint8 BGR frames (decoder layout); all colorspace handling happens
+on device.  Outputs are float32 feature rows; ``video_feature`` averages over
+frames and assembles the 35,203-dim vector in the frozen layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relaxtpu.features.aggregate import layer_stack_feature, resnet_pool_feature
+from relaxtpu.features.layout import TOTAL_FEATURE_DIM
+from relaxtpu.models.resnet import ResNet50, resnet_preprocess
+from relaxtpu.models.vit import ViT
+from relaxtpu.ops import (
+    absdiff,
+    bgr_to_gray,
+    farneback_flow,
+    flow_to_bgr,
+    fragment_pair,
+    gather_fragment,
+    merge_fragments,
+    patch_scores,
+    top_patch_indices,
+)
+
+FARNEBACK_PARAMS = dict(
+    pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2
+)
+
+
+def _bgr_u8_to_rgb01(img: jnp.ndarray, dtype) -> jnp.ndarray:
+    return (img[..., ::-1].astype(dtype) / 255.0)
+
+
+class FeatureExtractor:
+    """Builds and caches the jitted frame/pair feature programs.
+
+    Parameters
+    ----------
+    resnet_vars, vit_vars: Flax variable trees (ported or randomly init'd).
+    dtype: backbone compute dtype (bf16 for TPU throughput, f32 for parity).
+    """
+
+    def __init__(self, resnet_vars: Any, vit_vars: Any, dtype=jnp.float32):
+        self.resnet = ResNet50(dtype=dtype)
+        self.vit = ViT(dtype=dtype)
+        # Weights are device arrays passed as jit ARGUMENTS, never closed
+        # over: captured weights would be baked into the HLO as constants
+        # (gigantic programs; the axon remote-compile tunnel rejects them).
+        self.resnet_vars = jax.device_put(resnet_vars)
+        self.vit_vars = jax.device_put(vit_vars)
+        self.dtype = dtype
+        self._frame_fn_v = jax.jit(self._frame_features)
+        self._pair_fn_v = jax.jit(self._pair_features)
+
+    # ---------------------------------------------------------------- frames
+    def _backbone_inputs(self, frames_bgr_u8: jnp.ndarray, resize: bool):
+        rgb = _bgr_u8_to_rgb01(frames_bgr_u8, jnp.float32)
+        if resize and rgb.shape[1:3] != (224, 224):
+            b = rgb.shape[0]
+            # ResNet path: torchvision Resize = bilinear with antialias
+            rgb_rn = jax.image.resize(rgb, (b, 224, 224, 3), "linear", antialias=True)
+            # ViT path: PIL LANCZOS (ref visualise_vit_layer.py:466-469)
+            rgb_vit = jax.image.resize(rgb, (b, 224, 224, 3), "lanczos3", antialias=True)
+        else:
+            rgb_rn = rgb
+            rgb_vit = rgb
+        x_rn = resnet_preprocess(rgb_rn).astype(self.dtype)
+        x_vit = rgb_vit.astype(self.dtype)
+        return x_rn, x_vit
+
+    def _frame_features(self, resnet_vars, vit_vars, frames_bgr_u8: jnp.ndarray):
+        """(B, H, W, 3) uint8 BGR -> resnet_stack (B, 13120), vit_pool (B, 2304)."""
+        x_rn, x_vit = self._backbone_inputs(frames_bgr_u8, resize=True)
+        taps = self.resnet.apply(resnet_vars, x_rn, reduce="mean")
+        stack = layer_stack_feature(taps)
+        vit_stats = self.vit.apply(vit_vars, x_vit, reduce="stats")
+        return stack, vit_stats
+
+    # ----------------------------------------------------------------- pairs
+    def _fragments(self, prev: jnp.ndarray, nxt: jnp.ndarray):
+        """Single-pair fragment construction (vmapped over the batch)."""
+        residual = absdiff(nxt, prev)
+        diff_frag, ori_frag = fragment_pair(residual, prev)
+        flow = farneback_flow(bgr_to_gray(prev), bgr_to_gray(nxt), **FARNEBACK_PARAMS)
+        flow_img = flow_to_bgr(flow)
+        flow_ids = top_patch_indices(patch_scores(flow_img))
+        flow_frag = gather_fragment(flow_img, flow_ids)
+        merged_frag = merge_fragments(diff_frag, flow_frag)
+        return ori_frag, merged_frag
+
+    def _pair_features(self, resnet_vars, vit_vars, prev: jnp.ndarray, nxt: jnp.ndarray):
+        """(B, H, W, 3) uint8 BGR pairs -> frag_resnet (B, 15171), frag_vit (B, 4608)."""
+        ori_frag, merged_frag = jax.vmap(self._fragments)(prev, nxt)
+        b = ori_frag.shape[0]
+        both = jnp.concatenate([ori_frag, merged_frag], axis=0)
+        x_rn, x_vit = self._backbone_inputs(both, resize=False)
+        taps = self.resnet.apply(resnet_vars, x_rn, reduce="mean")
+        stack_all = layer_stack_feature(taps)
+        pool_all = resnet_pool_feature(taps["avgpool"])
+        vit_all = self.vit.apply(vit_vars, x_vit, reduce="stats")
+        frag_resnet = jnp.concatenate([stack_all[:b], pool_all[b:]], axis=-1)
+        frag_vit = jnp.concatenate([vit_all[:b], vit_all[b:]], axis=-1)
+        return frag_resnet, frag_vit
+
+    # ------------------------------------------------------------ public API
+    def _frame_fn(self, frames):
+        return self._frame_fn_v(self.resnet_vars, self.vit_vars, frames)
+
+    def _pair_fn(self, prev, nxt):
+        return self._pair_fn_v(self.resnet_vars, self.vit_vars, prev, nxt)
+
+    def frame_features(self, frames_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
+        stack, vit_stats = self._frame_fn(jnp.asarray(frames_bgr_u8))
+        return np.asarray(stack), np.asarray(vit_stats)
+
+    def pair_features(self, prev_bgr_u8, next_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
+        fr, fv = self._pair_fn(jnp.asarray(prev_bgr_u8), jnp.asarray(next_bgr_u8))
+        return np.asarray(fr), np.asarray(fv)
+
+    def video_feature(self, frames_bgr_u8, prev_bgr_u8, next_bgr_u8) -> np.ndarray:
+        """Full 35,203-dim per-video vector (ref demo_test.py:171-175)."""
+        stack, vit_stats = self.frame_features(frames_bgr_u8)
+        frag_resnet, frag_vit = self.pair_features(prev_bgr_u8, next_bgr_u8)
+        vec = np.concatenate(
+            [
+                stack.mean(axis=0),
+                vit_stats.mean(axis=0),
+                frag_resnet.mean(axis=0),
+                frag_vit.mean(axis=0),
+            ]
+        )
+        assert vec.shape == (TOTAL_FEATURE_DIM,)
+        return vec

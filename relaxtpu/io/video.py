@@ -1,0 +1,157 @@
+"""Frame decoding and ~2 fps sampling.
+
+The reference shells out to ffmpeg twice per video, writing PNGs
+(``/root/reference/src/video_frames_extract.py:6-100``):
+
+- sampled frames:   ``select='not(mod(n,interval))'``  -> frames 0, i, 2i, ...
+- successor frames: ``select='not(mod(n-1,interval))'`` -> frames 1, i+1, ...
+  (frame 0 is NOT selected: ffmpeg's mod(-1, i) != 0)
+
+with ``frame_interval = ceil(framerate/2) if framerate < 2 else
+int(framerate/2)`` (ref ``main_fragment_layerstack.py:273-277``).
+
+Here decoding happens in-process (cv2.VideoCapture; raw-YUV fallback for
+LIVE-Qualcomm-style ``.yuv`` files) and frames go straight into device
+buffers — no PNG round-trip.  Note the reference's features are computed from
+8-bit PNG re-encodes; staying uint8 end-to-end preserves that quantization.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+
+def frame_interval_for(framerate: float) -> int:
+    if framerate < 2:
+        return math.ceil(framerate / 2)
+    return int(framerate / 2)
+
+
+def sample_indices(n_frames: int, interval: int) -> list[int]:
+    """Frame indices matching ``not(mod(n, interval))``."""
+    interval = max(int(interval), 1)
+    return list(range(0, n_frames, interval))
+
+
+def residual_pair_indices(n_frames: int, interval: int) -> list[tuple[int, int]]:
+    """(frame, successor) index pairs matching the two ffmpeg selects, zipped.
+
+    The reference zips the sorted sampled/next PNG lists
+    (``main_fragment_layerstack.py:283-293``); a trailing sampled frame with
+    no successor is dropped by the zip.
+    """
+    interval = max(int(interval), 1)
+    firsts = sample_indices(n_frames, interval)
+    return [(f, f + 1) for f in firsts if f + 1 < n_frames]
+
+
+def _yuv420_frame_count(path: str, width: int, height: int) -> int:
+    frame_bytes = width * height * 3 // 2
+    return os.path.getsize(path) // frame_bytes
+
+
+def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) -> list[np.ndarray]:
+    import cv2
+
+    frame_bytes = width * height * 3 // 2
+    out = []
+    with open(path, "rb") as f:
+        for idx in indices:
+            f.seek(idx * frame_bytes)
+            raw = np.frombuffer(f.read(frame_bytes), np.uint8)
+            if raw.size < frame_bytes:
+                break
+            yuv = raw.reshape(height * 3 // 2, width)
+            out.append(cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR_I420))
+    return out
+
+
+def _read_video_frames(path: str, indices: list[int]) -> list[np.ndarray]:
+    """Sequential decode keeping only the requested (sorted) frame indices."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    want = set(indices)
+    last = max(indices) if indices else -1
+    out: dict[int, np.ndarray] = {}
+    n = 0
+    while n <= last:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if n in want:
+            out[n] = frame
+        n += 1
+    cap.release()
+    return [out[i] for i in sorted(out)]
+
+
+def probe_video(path: str) -> dict:
+    """width/height/framerate/nb_frames via cv2 (ffprobe replacement,
+    ref ``extract_metadata_NR.py:28-51``)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise FileNotFoundError(f"cannot open video: {path}")
+    info = {
+        "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        "framerate": float(cap.get(cv2.CAP_PROP_FPS)),
+        "nb_frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+    }
+    cap.release()
+    return info
+
+
+def decode_sampled_frames(
+    path: str,
+    framerate: float | None = None,
+    width: int | None = None,
+    height: int | None = None,
+) -> np.ndarray:
+    """Sampled full frames -> (B, H, W, 3) uint8 BGR."""
+    is_yuv = path.endswith(".yuv")
+    if framerate is None:
+        framerate = probe_video(path)["framerate"]
+    interval = frame_interval_for(framerate)
+    if is_yuv:
+        n = _yuv420_frame_count(path, width, height)
+        frames = _read_yuv420_frames(path, width, height, sample_indices(n, interval))
+    else:
+        n = probe_video(path)["nb_frames"]
+        frames = _read_video_frames(path, sample_indices(n, interval))
+    return np.stack(frames)
+
+
+def decode_frame_pairs(
+    path: str,
+    framerate: float | None = None,
+    width: int | None = None,
+    height: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(prev, next) sampled pairs -> two (B, H, W, 3) uint8 BGR arrays."""
+    is_yuv = path.endswith(".yuv")
+    if framerate is None:
+        framerate = probe_video(path)["framerate"]
+    interval = frame_interval_for(framerate)
+    if is_yuv:
+        n = _yuv420_frame_count(path, width, height)
+        pairs = residual_pair_indices(n, interval)
+        flat = sorted({i for p in pairs for i in p})
+        frames = _read_yuv420_frames(path, width, height, flat)
+    else:
+        n = probe_video(path)["nb_frames"]
+        pairs = residual_pair_indices(n, interval)
+        flat = sorted({i for p in pairs for i in p})
+        frames = _read_video_frames(path, flat)
+    lookup = dict(zip(flat, frames))
+    pairs = [(a, b) for a, b in pairs if a in lookup and b in lookup]
+    prev = np.stack([lookup[a] for a, _ in pairs])
+    nxt = np.stack([lookup[b] for _, b in pairs])
+    return prev, nxt

@@ -1,0 +1,382 @@
+"""Training protocol for the MOS-regression head, in optax.
+
+Faithful port of the reference protocol semantics
+(``/root/reference/src/model_regression.py:335-471,492-716``):
+
+- per repeat: split -> preprocess -> k-fold CV (KFold shuffle rs=42, ref :357)
+- per fold: fresh Mlp; SGD(momentum .9, weight decay as torch L2) +
+  CosineAnnealing(T_max=epochs, eta_min=1e-5) or Adam + StepLR(2, 0.95);
+  SWA from 70% of epochs (equal parameter average; the SWA eval model keeps
+  its initial BN buffers, matching torch AveragedModel(use_buffers=False),
+  ref :388) with SWALR cosine anneal toward swa_lr;
+- best-model selection ACROSS folds per epoch by val RMSE or KRCC
+  (ref ``update_best_model:324-333``); early stopping (patience on val loss)
+  activates only once SWA engages and re-snapshots the RAW model (ref
+  :440-452 — a reference quirk, reproduced);
+- after each fold, ``update_bn`` recomputes BN buffers over the fold's train
+  split with torch's cumulative-average semantics (ref :454-459);
+- across repeats: the median model by test RMSE/KRCC is selected (ref
+  :659-697).
+
+Splits use sklearn (KFold / train_test_split) so they are bit-identical to
+the reference for equal random states.  Batch shuffling is numpy-seeded and
+therefore reproducible, though not bit-identical to torch's RNG — parity is
+at the protocol/metric level.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from sklearn.model_selection import KFold, train_test_split
+
+from relaxtpu.model.losses import mae_and_rank_loss
+from relaxtpu.model.metrics import compute_correlation_metrics
+from relaxtpu.model.mlp import Mlp
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    n_repeats: int = 21
+    n_splits: int = 10
+    batch_size: int = 256
+    epochs: int = 20
+    hidden_features: int = 256
+    drop_rate: float = 0.1
+    loss_type: str = "MAERankLoss"
+    optimizer_type: str = "sgd"  # 'sgd' | 'adam' (torch L2-Adam) | 'adamw'
+    select_criteria: str = "byrmse"  # 'byrmse' | 'bykrcc'
+    initial_lr: float = 0.1
+    weight_decay: float = 0.005
+    patience: int = 5
+    use_swa: bool = True
+    l1_w: float = 0.6
+    rank_w: float = 1.0
+    use_bn: bool = True
+    kfold: bool = True  # False: single 80/20 val split (model_regression_simple)
+    swa_start_frac: float = 0.7
+    swa_anneal_epochs: int = 10
+    eta_min: float = 1e-5
+    seed: int = 0
+
+
+def _cosine_lr(cfg: TrainConfig, epoch: int) -> float:
+    return cfg.eta_min + (cfg.initial_lr - cfg.eta_min) * (
+        1 + math.cos(math.pi * epoch / cfg.epochs)
+    ) / 2
+
+
+def _step_lr(cfg: TrainConfig, epoch: int) -> float:
+    return cfg.initial_lr * (0.95 ** (epoch // 2))
+
+
+def _swa_lr(cfg: TrainConfig, lr_at_start: float, t: int) -> float:
+    k = cfg.swa_anneal_epochs
+    tau = min(t, k) / k
+    return cfg.initial_lr + (lr_at_start - cfg.initial_lr) * (1 + math.cos(math.pi * tau)) / 2
+
+
+def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
+    if cfg.optimizer_type == "sgd":
+        inner = lambda lr: optax.chain(  # noqa: E731
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.sgd(lr, momentum=0.9),
+        )
+    elif cfg.optimizer_type == "adam":
+        inner = lambda lr: optax.chain(  # noqa: E731
+            optax.add_decayed_weights(cfg.weight_decay),
+            optax.adam(lr),
+        )
+    else:  # adamw (used by fine-tune, ref fine_tune.py:155)
+        inner = lambda lr: optax.adamw(lr, weight_decay=cfg.weight_decay)  # noqa: E731
+    return optax.inject_hyperparams(inner)(lr=cfg.initial_lr)
+
+
+@dataclasses.dataclass
+class ModelSnapshot:
+    """A selected model: parameters + BN buffers frozen at selection time."""
+
+    params: Any
+    batch_stats: Any
+
+
+class MlpTrainer:
+    """Holds the model and jitted train/eval programs for one input dim."""
+
+    def __init__(self, cfg: TrainConfig, input_dim: int):
+        self.cfg = cfg
+        self.input_dim = input_dim
+        self.model = Mlp(
+            hidden_features=cfg.hidden_features,
+            drop_rate=cfg.drop_rate,
+            use_bn=cfg.use_bn,
+        )
+        self.tx = _make_tx(cfg)
+        self._step = jax.jit(self._train_step)
+        self._eval = jax.jit(self._eval_batch)
+        self._bn_stats = jax.jit(self._batch_bn_stats)
+
+    # ----------------------------------------------------------- jitted fns
+    def _train_step(self, params, batch_stats, opt_state, x, y, key):
+        def loss_fn(p):
+            out, mut = self.model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": key},
+                mutable=["batch_stats"],
+            )
+            loss = mae_and_rank_loss(out, y, self.cfg.l1_w, self.cfg.rank_w)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    def _eval_batch(self, params, batch_stats, x, y):
+        out = self.model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False
+        ).reshape(-1)
+        loss = mae_and_rank_loss(out, y, self.cfg.l1_w, self.cfg.rank_w)
+        return out, loss
+
+    def _batch_bn_stats(self, params, batch_stats, x):
+        """Pre-BN activations' mean/unbiased-var for update_bn."""
+        h = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=False,
+            method=lambda m, xx, train: m.fc1_out(xx),
+        ) if False else None
+        raise NotImplementedError
+
+    # ------------------------------------------------------------- utilities
+    def init_variables(self, key) -> dict:
+        dummy = jnp.zeros((2, self.input_dim), jnp.float32)
+        variables = self.model.init(key, dummy, train=False)
+        return {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        }
+
+    def predict(self, snapshot: ModelSnapshot, x: np.ndarray, batch_size: int = 4096) -> np.ndarray:
+        out = []
+        for i in range(0, len(x), batch_size):
+            xb = jnp.asarray(x[i : i + batch_size], jnp.float32)
+            yb = jnp.zeros(xb.shape[0], jnp.float32)
+            pred, _ = self._eval(snapshot.params, snapshot.batch_stats, xb, yb)
+            out.append(np.asarray(pred))
+        return np.concatenate(out)
+
+    def evaluate_loss(self, snapshot: ModelSnapshot, x, y, batch_size: int) -> tuple[float, np.ndarray]:
+        """Reference ``evaluate:308-322``: size-weighted mean of batch losses."""
+        total, preds = 0.0, []
+        for i in range(0, len(x), batch_size):
+            xb = jnp.asarray(x[i : i + batch_size], jnp.float32)
+            yb = jnp.asarray(y[i : i + batch_size], jnp.float32)
+            pred, loss = self._eval(snapshot.params, snapshot.batch_stats, xb, yb)
+            preds.append(np.asarray(pred))
+            total += float(loss) * len(xb)
+        return total / len(x), np.concatenate(preds)
+
+    def update_bn(self, snapshot: ModelSnapshot, x: np.ndarray, rng: np.random.Generator) -> ModelSnapshot:
+        """torch swa_utils.update_bn: reset buffers, cumulative average of
+        per-batch stats of the pre-BN activations (ref :454-459)."""
+        if not self.cfg.use_bn:
+            return snapshot
+        idx = rng.permutation(len(x))
+        fc1 = snapshot.params["fc1"]
+        mean_acc = None
+        var_acc = None
+        n_seen = 0
+        for i in range(0, len(x), self.cfg.batch_size):
+            xb = x[idx[i : i + self.cfg.batch_size]]
+            h = xb @ np.asarray(fc1["kernel"]) + np.asarray(fc1["bias"])
+            bmean = h.mean(axis=0)
+            n = len(h)
+            bvar = h.var(axis=0) * (n / max(n - 1, 1))
+            n_seen += 1
+            if mean_acc is None:
+                mean_acc, var_acc = bmean, bvar
+            else:
+                mean_acc = mean_acc + (bmean - mean_acc) / n_seen
+                var_acc = var_acc + (bvar - var_acc) / n_seen
+        new_stats = dict(snapshot.batch_stats)
+        new_stats["bn1"] = {
+            "mean": jnp.asarray(mean_acc, jnp.float32),
+            "var": jnp.asarray(var_acc, jnp.float32),
+        }
+        return ModelSnapshot(params=snapshot.params, batch_stats=new_stats)
+
+
+def _is_better(criteria: str, best: float, cur: float) -> bool:
+    return cur < best if criteria == "byrmse" else cur > best
+
+
+def train_and_evaluate(
+    x_train: np.ndarray,
+    y_train: np.ndarray,
+    cfg: TrainConfig,
+    trainer: MlpTrainer | None = None,
+    log: Callable[[str], None] = lambda s: None,
+):
+    """K-fold (or single-split) training; returns (best ModelSnapshot,
+    per-fold train losses, per-fold val losses)."""
+    trainer = trainer or MlpTrainer(cfg, x_train.shape[1])
+    rng = np.random.default_rng(cfg.seed)
+
+    if cfg.kfold:
+        kf = KFold(n_splits=cfg.n_splits, shuffle=True, random_state=42)
+        folds = list(kf.split(x_train))
+    else:
+        tr_idx, val_idx = train_test_split(
+            np.arange(len(x_train)), test_size=0.2, random_state=42
+        )
+        folds = [(tr_idx, val_idx)]
+
+    best_snapshot: ModelSnapshot | None = None
+    best_metric = float("inf") if cfg.select_criteria == "byrmse" else float("-inf")
+    all_train_losses: list[list[float]] = []
+    all_val_losses: list[list[float]] = []
+    swa_start = int(cfg.epochs * cfg.swa_start_frac) if cfg.use_swa else cfg.epochs
+
+    for fold, (tr_idx, val_idx) in enumerate(folds):
+        x_tr, y_tr = x_train[tr_idx], y_train[tr_idx]
+        x_val, y_val = x_train[val_idx], y_train[val_idx]
+
+        key = jax.random.PRNGKey(rng.integers(0, 2**31 - 1))
+        key, init_key = jax.random.split(key)
+        variables = trainer.init_variables(init_key)
+        params = variables["params"]
+        batch_stats = variables["batch_stats"]
+        init_stats = jax.tree.map(lambda a: a, batch_stats)  # SWA eval buffers
+        opt_state = trainer.tx.init(params)
+
+        swa_params = None
+        swa_n = 0
+        lr_at_swa_start = None
+
+        train_losses: list[float] = []
+        val_losses: list[float] = []
+        best_val_loss = float("inf")
+        epochs_no_improve = 0
+        early_stop_active = False
+
+        for epoch in range(cfg.epochs):
+            # ---- learning rate (cosine / step; SWALR overrides after start)
+            if cfg.optimizer_type == "sgd":
+                lr = _cosine_lr(cfg, epoch)
+            else:
+                lr = _step_lr(cfg, epoch)
+            if cfg.use_swa and epoch >= swa_start:
+                if lr_at_swa_start is None:
+                    lr_at_swa_start = lr
+                lr = _swa_lr(cfg, lr_at_swa_start, epoch - swa_start)
+            opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
+
+            # ---- one epoch
+            perm = rng.permutation(len(x_tr))
+            epoch_loss = 0.0
+            for i in range(0, len(x_tr), cfg.batch_size):
+                bidx = perm[i : i + cfg.batch_size]
+                xb = jnp.asarray(x_tr[bidx], jnp.float32)
+                yb = jnp.asarray(y_tr[bidx], jnp.float32)
+                key, dk = jax.random.split(key)
+                params, batch_stats, opt_state, loss = trainer._step(
+                    params, batch_stats, opt_state, xb, yb, dk
+                )
+                epoch_loss += float(loss) * len(bidx)
+            train_losses.append(epoch_loss / len(x_tr))
+
+            # ---- SWA parameter averaging (equal average, ref :409-411)
+            if cfg.use_swa and epoch >= swa_start:
+                if swa_params is None:
+                    swa_params = jax.tree.map(lambda p: p, params)
+                    swa_n = 1
+                else:
+                    swa_n += 1
+                    swa_params = jax.tree.map(
+                        lambda a, p: a + (p - a) / swa_n, swa_params, params
+                    )
+                early_stop_active = True
+
+            # ---- evaluate current model (SWA model once engaged, ref :419)
+            if cfg.use_swa and epoch >= swa_start:
+                current = ModelSnapshot(swa_params, init_stats)
+            else:
+                current = ModelSnapshot(params, batch_stats)
+            val_loss, y_val_pred = trainer.evaluate_loss(current, x_val, y_val, cfg.batch_size)
+            val_losses.append(val_loss)
+
+            try:
+                _, _, rmse_val, _, krcc_val = compute_correlation_metrics(y_val, y_val_pred)
+            except Exception:
+                rmse_val, krcc_val = float("inf"), float("-inf")
+            cur_metric = rmse_val if cfg.select_criteria == "byrmse" else krcc_val
+            if _is_better(cfg.select_criteria, best_metric, cur_metric):
+                best_metric = cur_metric
+                best_snapshot = ModelSnapshot(
+                    jax.tree.map(lambda a: a, current.params),
+                    jax.tree.map(lambda a: a, current.batch_stats),
+                )
+                log(
+                    f"fold {fold + 1} epoch {epoch + 1}: new best "
+                    f"{cfg.select_criteria}={cur_metric:.4f} (val RMSE {rmse_val:.4f})"
+                )
+
+            # ---- early stopping (active only after SWA starts, ref :440-452)
+            if early_stop_active:
+                if val_loss < best_val_loss:
+                    best_val_loss = val_loss
+                    # reference quirk: snapshots the RAW model here (ref :445)
+                    best_snapshot = ModelSnapshot(
+                        jax.tree.map(lambda a: a, params),
+                        jax.tree.map(lambda a: a, batch_stats),
+                    )
+                    epochs_no_improve = 0
+                else:
+                    epochs_no_improve += 1
+                    if epochs_no_improve >= cfg.patience:
+                        log(f"fold {fold + 1}: early stop after {epoch + 1} epochs")
+                        break
+
+        # ---- SWA BN recalibration on this fold's train split (ref :454-459)
+        if cfg.use_swa and best_snapshot is not None:
+            best_snapshot = trainer.update_bn(best_snapshot, x_tr, rng)
+
+        all_train_losses.append(train_losses)
+        all_val_losses.append(val_losses)
+        pad = lambda ls: [x + [x[-1]] * (max(map(len, ls)) - len(x)) for x in ls]  # noqa: E731
+        all_train_losses = pad(all_train_losses)
+        all_val_losses = pad(all_val_losses)
+
+    return best_snapshot, trainer, all_train_losses, all_val_losses
+
+
+@dataclasses.dataclass
+class RepeatResult:
+    srcc: float
+    krcc: float
+    plcc: float
+    rmse: float
+    test_vids: list
+    y_test: np.ndarray
+    y_pred: np.ndarray
+    snapshot: ModelSnapshot
+
+
+def select_median_model(results: list[RepeatResult], criteria: str) -> tuple[RepeatResult, float, np.ndarray]:
+    """Median-by-RMSE/KRCC model across repeats (ref :659-697)."""
+    vals = np.nan_to_num(np.array([r.rmse if criteria == "byrmse" else r.krcc for r in results]))
+    median = np.median(vals)
+    idx = np.where(vals == median)[0]
+    if len(idx) == 0:  # even count: median not attained; take closest
+        idx = [int(np.argmin(np.abs(vals - median)))]
+    return results[int(idx[0])], float(median), vals

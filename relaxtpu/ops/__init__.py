@@ -1,0 +1,30 @@
+"""TPU compute kernels: residuals, fragments, optical flow, color transforms.
+
+All ops are pure, batched, statically-shaped JAX functions designed to fuse
+into one XLA program per frame-pair batch (no host round-trips between
+stages, unlike the reference's PNG-file pipeline).
+"""
+
+from relaxtpu.ops.fragments import (
+    absdiff,
+    patch_scores,
+    top_patch_indices,
+    gather_fragment,
+    fragment_pair,
+    merge_fragments,
+)
+from relaxtpu.ops.colorspace import bgr_to_gray, flow_to_bgr, hsv_to_bgr_u8
+from relaxtpu.ops.flow import farneback_flow
+
+__all__ = [
+    "absdiff",
+    "patch_scores",
+    "top_patch_indices",
+    "gather_fragment",
+    "fragment_pair",
+    "merge_fragments",
+    "bgr_to_gray",
+    "flow_to_bgr",
+    "hsv_to_bgr_u8",
+    "farneback_flow",
+]

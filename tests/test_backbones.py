@@ -1,0 +1,204 @@
+"""Backbone parity: Flax models + porters vs torch oracles with random weights.
+
+The oracles are minimal torch implementations of the exact architectures the
+reference consumes (torchvision resnet50; DINO VisionTransformer,
+/root/reference/src/extractor/visualise_vit_layer.py:81-260), with matching
+state_dict key names, so these tests validate both the architectures and the
+weight porters end-to-end without needing pretrained checkpoints.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+import jax.numpy as jnp  # noqa: E402
+
+from relaxtpu.models import (  # noqa: E402
+    RESNET_TAPS,
+    ResNet50,
+    ViT,
+    port_torch_resnet50,
+    port_torch_vit,
+)
+
+
+# ---------------------------------------------------------------- torch oracles
+class TorchBottleneck(tnn.Module):
+    def __init__(self, cin, width, stride):
+        super().__init__()
+        cout = width * 4
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, cout, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(cout)
+        self.relu = tnn.ReLU()
+        if stride != 1 or cin != cout:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, cout, 1, stride, bias=False), tnn.BatchNorm2d(cout)
+            )
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + idt)
+
+
+class TorchResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, 2, 1)
+        cfg = [(3, 64, 1), (4, 128, 2), (6, 256, 2), (3, 512, 2)]
+        cin = 64
+        for si, (n, w, s) in enumerate(cfg, 1):
+            blocks = []
+            for bi in range(n):
+                blocks.append(TorchBottleneck(cin, w, s if bi == 0 else 1))
+                cin = w * 4
+            setattr(self, f"layer{si}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        taps = {}
+        y = self.conv1(x)
+        taps["conv1"] = y
+        y = self.maxpool(self.relu(self.bn1(y)))
+        for si in range(1, 5):
+            for bi, blk in enumerate(getattr(self, f"layer{si}")):
+                y = blk(y)
+                taps[f"layer{si}.{bi}"] = y
+        taps["avgpool"] = y.mean(dim=(2, 3))
+        return taps
+
+
+class TorchViTBlock(tnn.Module):
+    def __init__(self, dim=768, heads=12):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim, eps=1e-6)
+        self.norm2 = tnn.LayerNorm(dim, eps=1e-6)
+        self.attn = tnn.Module()
+        self.attn.qkv = tnn.Linear(dim, dim * 3, bias=True)
+        self.attn.proj = tnn.Linear(dim, dim)
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(dim, dim * 4)
+        self.mlp.fc2 = tnn.Linear(dim * 4, dim)
+        self.heads = heads
+
+    def forward(self, x):
+        b, n, c = x.shape
+        h = self.heads
+        qkv = self.attn.qkv(self.norm1(x)).reshape(b, n, 3, h, c // h).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (c // h) ** -0.5
+        a = a.softmax(dim=-1)
+        y = (a @ v).transpose(1, 2).reshape(b, n, c)
+        x = x + self.attn.proj(y)
+        x = x + self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+        return x
+
+
+class TorchViT(tnn.Module):
+    def __init__(self, dim=768, depth=12, heads=12):
+        super().__init__()
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        self.pos_embed = tnn.Parameter(torch.randn(1, 197, dim) * 0.02)
+        self.patch_embed = tnn.Module()
+        self.patch_embed.proj = tnn.Conv2d(3, dim, 16, 16)
+        self.blocks = tnn.Sequential(*[TorchViTBlock(dim, heads) for _ in range(depth)])
+        self.norm = tnn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        b = x.shape[0]
+        y = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+        y = torch.cat([self.cls_token.expand(b, -1, -1), y], dim=1)
+        y = y + self.pos_embed
+        y = self.blocks(y)
+        y = self.norm(y)
+        return y[:, 1:]
+
+
+# ------------------------------------------------------------------- fixtures
+def _randomize_bn_stats(model, gen):
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=gen) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=gen) + 0.5)
+
+
+@pytest.mark.slow
+def test_resnet50_parity():
+    gen = torch.Generator().manual_seed(0)
+    oracle = TorchResNet50().eval()
+    with torch.no_grad():
+        _randomize_bn_stats(oracle, gen)
+        x = torch.randn(2, 3, 224, 224, generator=gen)
+        want = {k: v.numpy() for k, v in oracle(x).items()}
+
+    variables = port_torch_resnet50(oracle.state_dict())
+    model = ResNet50()
+    got = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        reduce=None,
+    )
+    for name in RESNET_TAPS:
+        w = want[name]
+        g = np.asarray(got[name]).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=2e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got["avgpool"]), want["avgpool"], rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_resnet50_mean_reduce_consistent():
+    gen = torch.Generator().manual_seed(1)
+    oracle = TorchResNet50().eval()
+    variables = port_torch_resnet50(oracle.state_dict())
+    model = ResNet50()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 224, 224, 3)).astype(np.float32))
+    full = model.apply(variables, x, reduce=None)
+    mean = model.apply(variables, x, reduce="mean")
+    for name in RESNET_TAPS:
+        np.testing.assert_allclose(
+            np.asarray(mean[name]),
+            np.asarray(full[name]).mean(axis=(1, 2)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
+
+
+@pytest.mark.slow
+def test_vit_parity():
+    torch.manual_seed(0)
+    depth = 4  # smaller depth keeps the test fast; layout identical per block
+    oracle = TorchViT(depth=depth).eval()
+    with torch.no_grad():
+        x = torch.randn(2, 3, 224, 224)
+        want = oracle(x).numpy()
+
+    variables = port_torch_vit(oracle.state_dict(), depth=depth)
+    model = ViT(depth=depth)
+    got = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), reduce=None)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_vit_stats_reduce_consistent():
+    torch.manual_seed(2)
+    oracle = TorchViT(depth=2).eval()
+    variables = port_torch_vit(oracle.state_dict(), depth=2)
+    model = ViT(depth=2)
+    x = jnp.asarray(np.random.default_rng(1).uniform(size=(2, 224, 224, 3)).astype(np.float32))
+    tokens = np.asarray(model.apply(variables, x, reduce=None))
+    stats = np.asarray(model.apply(variables, x, reduce="stats"))
+    want = np.concatenate(
+        [tokens.mean(axis=1), tokens.max(axis=1), tokens.std(axis=1)], axis=-1
+    )
+    np.testing.assert_allclose(stats, want, rtol=1e-4, atol=1e-5)

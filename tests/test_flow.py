@@ -1,0 +1,67 @@
+"""Farneback flow vs cv2.calcOpticalFlowFarneback (reference parameters)."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from relaxtpu.ops import farneback_flow
+
+cv2 = pytest.importorskip("cv2")
+
+REF_PARAMS = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2)
+
+
+def textured(rng, h, w, sigma=3.0):
+    t = cv2.GaussianBlur(rng.normal(0, 1, (h, w)).astype(np.float32), (0, 0), sigma)
+    return (t - t.mean()) / t.std() * 40 + 128
+
+
+def shifted_pair(rng, h, w, dx, dy):
+    """prev(p) == next(p + (dx, dy)) by integer slicing of one big texture."""
+    big = textured(rng, h + 32, w + 32)
+    prev = big[16 : 16 + h, 16 : 16 + w]
+    nxt = big[16 - dy : 16 - dy + h, 16 - dx : 16 - dx + w]
+    return (
+        np.clip(prev, 0, 255).astype(np.uint8),
+        np.clip(nxt, 0, 255).astype(np.uint8),
+    )
+
+
+def test_flow_recovers_known_shift(rng):
+    prev, nxt = shifted_pair(rng, 120, 160, dx=2, dy=1)
+    got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
+    s = 30
+    inner = got[s:-s, s:-s]
+    assert abs(np.median(inner[..., 0]) - 2.0) < 0.2
+    assert abs(np.median(inner[..., 1]) - 1.0) < 0.2
+
+
+def test_flow_matches_cv2_interior(rng):
+    prev, nxt = shifted_pair(rng, 120, 160, dx=2, dy=1)
+    want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
+    s = 24
+    err = np.abs(got[s:-s, s:-s] - want[s:-s, s:-s])
+    assert err.mean() < 0.05, err.mean()
+    assert np.percentile(err, 99) < 0.3
+
+
+def test_flow_matches_cv2_noisy_pair(rng):
+    # no true motion, pure noise differences — stresses the normal-equation solve
+    prev = textured(rng, 120, 144, sigma=2.0)
+    nxt = prev + rng.normal(0, 4, prev.shape).astype(np.float32)
+    prev = np.clip(prev, 0, 255).astype(np.uint8)
+    nxt = np.clip(nxt, 0, 255).astype(np.uint8)
+    want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
+    s = 24
+    err = np.abs(got[s:-s, s:-s] - want[s:-s, s:-s])
+    assert err.mean() < 0.05, err.mean()
+
+
+def test_flow_full_field_close_including_borders(rng):
+    prev, nxt = shifted_pair(rng, 96, 128, dx=1, dy=0)
+    want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
+    err = np.abs(got - want)
+    assert err.mean() < 0.1, err.mean()  # includes border taper region

@@ -1,0 +1,45 @@
+"""Feature pipeline shape/semantics tests (small shapes, random weights)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from relaxtpu.features.layout import FEATURE_LAYOUT, TOTAL_FEATURE_DIM
+from relaxtpu.features.pipeline import FeatureExtractor
+from relaxtpu.models import ResNet50, ViT
+
+
+@pytest.fixture(scope="module")
+def extractor():
+    key = jax.random.PRNGKey(0)
+    rn_vars = ResNet50().init(key, jnp.zeros((1, 224, 224, 3)))
+    vit_vars = ViT().init(key, jnp.zeros((1, 224, 224, 3)))
+    return FeatureExtractor(rn_vars, vit_vars)
+
+
+@pytest.mark.slow
+def test_video_feature_dim_and_layout(extractor, rng):
+    frames = rng.integers(0, 256, (2, 96, 128, 3), dtype=np.uint8)
+    pairs = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)
+    vec = extractor.video_feature(frames, pairs[:-1], pairs[1:])
+    assert vec.shape == (TOTAL_FEATURE_DIM,)
+    assert np.isfinite(vec).all()
+    dims = dict(FEATURE_LAYOUT)
+    stack, vit_stats = extractor.frame_features(frames)
+    assert stack.shape == (2, dims["resnet_stack"])
+    assert vit_stats.shape == (2, dims["vit_pool"])
+    frag_rn, frag_vit = extractor.pair_features(pairs[:-1], pairs[1:])
+    assert frag_rn.shape == (2, dims["frag_resnet"])
+    assert frag_vit.shape == (2, dims["frag_vit"])
+
+
+@pytest.mark.slow
+def test_pair_features_batch_invariance(extractor, rng):
+    """Batched execution == per-pair execution (no cross-pair leakage)."""
+    pairs = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)
+    prev, nxt = pairs[:-1], pairs[1:]
+    fr_b, fv_b = extractor.pair_features(prev, nxt)
+    fr_0, fv_0 = extractor.pair_features(prev[:1], nxt[:1])
+    np.testing.assert_allclose(fr_b[0], fr_0[0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(fv_b[0], fv_0[0], rtol=2e-3, atol=2e-3)
