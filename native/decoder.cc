@@ -1,0 +1,155 @@
+// relaxtpu native video decoder.
+//
+// In-process libavformat/libavcodec demux+decode with ffmpeg-select frame
+// sampling semantics, replacing the reference's ffmpeg *subprocess* + PNG
+// round-trip (reference: src/video_frames_extract.py:6-100 shells out twice
+// per video and writes PNGs to disk).  Frames are written as BGR24 straight
+// into a caller-provided (numpy) buffer, so the host->TPU path is
+// file -> decoder -> uint8 host array -> device, with no intermediate
+// encode/decode or filesystem traffic.
+//
+// The selected-frame rule matches ffmpeg's select='not(mod(n,interval))'
+// exactly: frames are counted in decode order from 0 and kept when their
+// index appears in the caller's (sorted) index list.
+//
+// Build: native/build.sh -> librelaxdecode.so; Python binding via ctypes
+// (relaxtpu/io/native.py); the ctypes call releases the GIL, so host decode
+// overlaps accelerator compute in the evaluator's prefetch threads.
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  int stream_index = -1;
+  int width = 0;
+  int height = 0;
+  double fps = 0.0;
+  int64_t nb_frames = 0;  // container hint; may be 0 for some formats
+};
+
+}  // namespace
+
+extern "C" {
+
+void* relax_open(const char* path) {
+  auto* d = new Decoder();
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (d->stream_index < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, st->codecpar);
+  d->codec->thread_count = 0;  // auto
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
+  d->fps = r.den ? static_cast<double>(r.num) / r.den : 0.0;
+  d->nb_frames = st->nb_frames;
+  return d;
+}
+
+int relax_info(void* handle, int* w, int* h, double* fps, int64_t* nframes) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return -1;
+  *w = d->width;
+  *h = d->height;
+  *fps = d->fps;
+  *nframes = d->nb_frames;
+  return 0;
+}
+
+// Decode frames whose decode-order index is in `indices` (sorted ascending,
+// n entries); write BGR24 rows into `out` (n * height * width * 3 bytes).
+// Returns the number of frames written (may be < n at stream end).
+int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
+                              uint8_t* out) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || n <= 0) return 0;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t count = 0;   // decode-order frame counter
+  int64_t next_i = 0;  // position in the index list
+  int64_t written = 0;
+  const int64_t frame_bytes = static_cast<int64_t>(d->height) * d->width * 3;
+
+  auto handle_frame = [&](AVFrame* f) {
+    if (next_i < n && count == indices[next_i]) {
+      if (!d->sws) {
+        d->sws = sws_getContext(d->width, d->height,
+                                static_cast<AVPixelFormat>(f->format),
+                                d->width, d->height, AV_PIX_FMT_BGR24,
+                                SWS_BILINEAR, nullptr, nullptr, nullptr);
+      }
+      uint8_t* dst[1] = {out + written * frame_bytes};
+      int dst_stride[1] = {d->width * 3};
+      sws_scale(d->sws, f->data, f->linesize, 0, d->height, dst, dst_stride);
+      ++written;
+      ++next_i;
+    }
+    ++count;
+  };
+
+  while (next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      if (avcodec_send_packet(d->codec, pkt) >= 0) {
+        while (avcodec_receive_frame(d->codec, frame) >= 0) {
+          handle_frame(frame);
+        }
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  // drain
+  avcodec_send_packet(d->codec, nullptr);
+  while (next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
+    handle_frame(frame);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return written;
+}
+
+void relax_close(void* handle) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return;
+  if (d->sws) sws_freeContext(d->sws);
+  if (d->codec) avcodec_free_context(&d->codec);
+  if (d->fmt) avformat_close_input(&d->fmt);
+  delete d;
+}
+
+}  // extern "C"

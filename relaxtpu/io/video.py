@@ -70,7 +70,22 @@ def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) 
 
 
 def _read_video_frames(path: str, indices: list[int]) -> list[np.ndarray]:
-    """Sequential decode keeping only the requested (sorted) frame indices."""
+    """Sequential decode keeping only the requested (sorted) frame indices.
+
+    Prefers the native C++ decoder (in-process libav, GIL-released, BGR24
+    straight into numpy — ``native/decoder.cc``); falls back to cv2.
+    """
+    from relaxtpu.io import native
+
+    if native.available():
+        try:
+            with native.NativeDecoder(path) as dec:
+                return list(dec.decode_selected(indices))
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass  # fall back to cv2 on any decoder-level failure
+
     import cv2
 
     cap = cv2.VideoCapture(path)
@@ -92,8 +107,25 @@ def _read_video_frames(path: str, indices: list[int]) -> list[np.ndarray]:
 
 
 def probe_video(path: str) -> dict:
-    """width/height/framerate/nb_frames via cv2 (ffprobe replacement,
-    ref ``extract_metadata_NR.py:28-51``)."""
+    """width/height/framerate/nb_frames (ffprobe replacement,
+    ref ``extract_metadata_NR.py:28-51``); native decoder first, cv2 fallback."""
+    from relaxtpu.io import native
+
+    if native.available():
+        try:
+            with native.NativeDecoder(path) as dec:
+                if dec.nb_frames > 0:
+                    return {
+                        "width": dec.width,
+                        "height": dec.height,
+                        "framerate": dec.framerate,
+                        "nb_frames": dec.nb_frames,
+                    }
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass
+
     import cv2
 
     cap = cv2.VideoCapture(path)

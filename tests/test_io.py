@@ -1,0 +1,91 @@
+"""IO layer tests: sampling semantics, native decoder vs cv2, greyscale."""
+import os
+
+import numpy as np
+import pytest
+
+from relaxtpu.data.greyscale import is_greyscale_image, video_is_greyscale
+from relaxtpu.io.video import (
+    frame_interval_for,
+    residual_pair_indices,
+    sample_indices,
+)
+
+
+def test_frame_interval_rule():
+    # ref main_fragment_layerstack.py:273-277
+    assert frame_interval_for(24) == 12
+    assert frame_interval_for(29.97002997) == 14
+    assert frame_interval_for(25) == 12
+    assert frame_interval_for(1.5) == 1  # ceil(0.75)
+    assert frame_interval_for(0.9) == 1
+
+
+def test_sample_indices_match_ffmpeg_select():
+    # select='not(mod(n,12))' on 30 frames -> 0,12,24
+    assert sample_indices(30, 12) == [0, 12, 24]
+    # successor select='not(mod(n-1,12))' -> 1,13,25; zip keeps all 3 pairs
+    assert residual_pair_indices(30, 12) == [(0, 1), (12, 13), (24, 25)]
+    # last sampled frame with no successor is dropped
+    assert residual_pair_indices(25, 12) == [(0, 1), (12, 13)]
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(0)
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    w, h = 128, 96
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+    for i in range(48):
+        frame = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        frame[:, : 4 * (i + 1) % w] = (i * 5) % 255  # frame-varying content
+        vw.write(frame)
+    vw.release()
+    return path
+
+
+def test_native_decoder_matches_cv2(clip):
+    cv2 = pytest.importorskip("cv2")
+    from relaxtpu.io import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    with native.NativeDecoder(clip) as dec:
+        assert dec.width == 128 and dec.height == 96
+        got = dec.decode_selected([0, 12, 24])
+    cap = cv2.VideoCapture(clip)
+    want = []
+    n = 0
+    while n <= 24:
+        ok, f = cap.read()
+        if not ok:
+            break
+        if n in (0, 12, 24):
+            want.append(f)
+        n += 1
+    cap.release()
+    want = np.stack(want)
+    assert got.shape == want.shape
+    # both decode via libav; chroma upsampling may differ by a hair
+    assert np.abs(got.astype(int) - want.astype(int)).mean() < 2.0
+
+
+def test_decode_sampled_frames_and_pairs(clip):
+    from relaxtpu.io.video import decode_frame_pairs, decode_sampled_frames
+
+    frames = decode_sampled_frames(clip)
+    prev, nxt = decode_frame_pairs(clip)
+    # 48 frames @24fps -> interval 12 -> samples 0,12,24,36; pairs all 4
+    assert frames.shape[0] == 4
+    assert prev.shape[0] == 4 and nxt.shape[0] == 4
+    assert not np.array_equal(prev[0], nxt[0])
+
+
+def test_greyscale_detector(rng):
+    grey = np.repeat(rng.integers(0, 256, (20, 20, 1), dtype=np.uint8), 3, axis=2)
+    color = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    assert is_greyscale_image(grey)
+    assert not is_greyscale_image(color)
+    assert video_is_greyscale(np.stack([grey, grey]))
+    assert not video_is_greyscale(np.stack([grey, color]))
