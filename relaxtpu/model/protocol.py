@@ -179,6 +179,34 @@ def fine_tune(
     return median_result, results
 
 
+def zero_shot_eval(
+    base_snapshot: ModelSnapshot,
+    trainer: MlpTrainer,
+    x: np.ndarray,
+    y: np.ndarray,
+    ft_cfg: FineTuneConfig,
+    mos_is_1_5: bool,
+    progress: Callable[[str], None] = log.info,
+) -> tuple[RepeatResult, list[RepeatResult]]:
+    """w/o-fine-tune evaluation (ref ``fine_tune.py:216-258``): the
+    LSVQ-trained model scored on the 21 test splits of the target dataset
+    without any adaptation."""
+    results: list[RepeatResult] = []
+    y100 = mos_1_5_to_1_100(y) if mos_is_1_5 else np.asarray(y, float)
+    for i in range(1, ft_cfg.n_repeats + 1):
+        rs = math.ceil(8.8 * i)
+        _, idx_te = train_test_split(np.arange(len(x)), test_size=0.2, random_state=rs)
+        y_pred = trainer.predict(base_snapshot, x[idx_te])
+        y_te = y100[idx_te]
+        if mos_is_1_5:
+            y_te, y_pred = mos_1_100_to_1_5(y_te), mos_1_100_to_1_5(y_pred)
+        _, plcc, rmse, srcc, krcc = compute_correlation_metrics(y_te, y_pred)
+        results.append(RepeatResult(srcc, krcc, plcc, rmse, [], y_te, y_pred, base_snapshot))
+        progress(f"zero-shot repeat {i}: SRCC {srcc:.4f} RMSE {rmse:.4f}")
+    median_result, _, _ = select_median_model(results, ft_cfg.select_criteria)
+    return median_result, results
+
+
 def _fine_tune_once(base, trainer: MlpTrainer, x_tr, y_tr, cfg: TrainConfig, seed: int):
     """One fine-tune run: no kfold, no val-based selection — train the full
     epochs from the base weights, SWA-average the tail, update BN
