@@ -63,10 +63,17 @@ def measure_tpu(videos) -> float:
 
     fx = build_extractor(jnp.bfloat16)
     frames0, prev0, nxt0 = videos[0]
-    fx.video_feature(frames0, prev0, nxt0)  # warmup/compile
+    np.asarray(fx.video_feature_async(frames0, prev0, nxt0))  # warmup/compile
+    # pipelined: enqueue the next video's program while the device crunches
+    # the previous one; only the 35,203-vector is fetched per video.
     t0 = time.perf_counter()
+    pending = []
     for frames, prev, nxt in videos[1:]:
-        fx.video_feature(frames, prev, nxt)
+        pending.append(fx.video_feature_async(frames, prev, nxt))
+        while len(pending) > 2:
+            np.asarray(pending.pop(0))
+    for p in pending:
+        np.asarray(p)
     dt = time.perf_counter() - t0
     return (len(videos) - 1) / dt
 

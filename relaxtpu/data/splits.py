@@ -37,7 +37,9 @@ def split_other(
     youtube_ugc).  Returns (X_train, y_train, X_test, y_test, test_vids).
     """
     df, features = _drop_greyscale(df, features, grey_indices)
-    unique_vids = df["vid"].unique()
+    # np.asarray: pandas >=3 returns arrow-backed arrays for string columns,
+    # which sklearn's indexing rejects
+    unique_vids = np.asarray(df["vid"].unique())
     train_vids, test_vids = train_test_split(
         unique_vids, test_size=test_size, random_state=random_state
     )

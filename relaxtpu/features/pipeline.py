@@ -120,12 +120,66 @@ class FeatureExtractor:
         frag_vit = jnp.concatenate([vit_all[:b], vit_all[b:]], axis=-1)
         return frag_resnet, frag_vit
 
+    def _video_vec(self, resnet_vars, vit_vars, frames, prev, nxt, n_frames, n_pairs):
+        """Whole-video program: feature rows reduced to the 35,203 vector on
+        device (only 140KB leaves the chip).  Row counts are passed as device
+        scalars so padded batches (shape bucketing) average correctly."""
+        stack, vit_stats = self._frame_features(resnet_vars, vit_vars, frames)
+        frag_rn, frag_vit = self._pair_features(resnet_vars, vit_vars, prev, nxt)
+
+        def masked_mean(x, n):
+            idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
+            m = (idx < n).astype(x.dtype)
+            return jnp.sum(x * m, axis=0) / n.astype(x.dtype)
+
+        return jnp.concatenate(
+            [
+                masked_mean(stack, n_frames),
+                masked_mean(vit_stats, n_frames),
+                masked_mean(frag_rn, n_pairs),
+                masked_mean(frag_vit, n_pairs),
+            ]
+        )
+
     # ------------------------------------------------------------ public API
     def _frame_fn(self, frames):
         return self._frame_fn_v(self.resnet_vars, self.vit_vars, frames)
 
     def _pair_fn(self, prev, nxt):
         return self._pair_fn_v(self.resnet_vars, self.vit_vars, prev, nxt)
+
+    def video_feature_async(self, frames_bgr_u8, prev_bgr_u8, next_bgr_u8, bucket: int = 8):
+        """Enqueue the whole-video program; returns a device array (35203,)
+        WITHOUT blocking — call np.asarray on it later.  Lets callers pipeline
+        host decode/transfer of video N+1 against device compute of video N.
+
+        Frame/pair counts are padded up to a multiple of ``bucket`` (masked
+        means keep the math exact), so videos of similar length share one
+        compiled program instead of recompiling per count.
+        """
+        if not hasattr(self, "_video_fn_v"):
+            self._video_fn_v = jax.jit(self._video_vec)
+
+        def pad(a):
+            a = np.asarray(a)
+            n = len(a)
+            p = (-n) % bucket
+            if p:
+                a = np.concatenate([a, np.repeat(a[-1:], p, axis=0)], axis=0)
+            return a, n
+
+        frames, n_frames = pad(frames_bgr_u8)
+        prev, n_pairs = pad(prev_bgr_u8)
+        nxt, _ = pad(next_bgr_u8)
+        return self._video_fn_v(
+            self.resnet_vars,
+            self.vit_vars,
+            jnp.asarray(frames),
+            jnp.asarray(prev),
+            jnp.asarray(nxt),
+            jnp.asarray(n_frames, jnp.int32),
+            jnp.asarray(n_pairs, jnp.int32),
+        )
 
     def frame_features(self, frames_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
         stack, vit_stats = self._frame_fn(jnp.asarray(frames_bgr_u8))

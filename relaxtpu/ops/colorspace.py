@@ -53,13 +53,19 @@ def hsv_to_bgr_u8(h_u8: jax.Array, s_u8: jax.Array, v_u8: jax.Array) -> jax.Arra
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
     # RGB per sector: 0:(v,t,p) 1:(q,v,p) 2:(p,v,t) 3:(p,q,v) 4:(t,p,v) 5:(v,p,q)
-    r_tab = jnp.stack([v, q, p, p, t, v], axis=-1)
-    g_tab = jnp.stack([t, v, v, q, p, p], axis=-1)
-    b_tab = jnp.stack([p, p, t, v, v, q], axis=-1)
-    sector1 = sector[..., None]
-    r = jnp.take_along_axis(r_tab, sector1, axis=-1)[..., 0]
-    g = jnp.take_along_axis(g_tab, sector1, axis=-1)[..., 0]
-    b = jnp.take_along_axis(b_tab, sector1, axis=-1)[..., 0]
+    # select chains instead of stacked tables + take_along_axis: a trailing
+    # dim of 6 would be lane-padded 6 -> 128 on TPU (21x VPU/HBM waste).
+    conds = [sector == i for i in range(6)]
+
+    def pick(tab):
+        out = tab[5]
+        for i in range(4, -1, -1):
+            out = jnp.where(conds[i], tab[i], out)
+        return out
+
+    r = pick((v, q, p, p, t, v))
+    g = pick((t, v, v, q, p, p))
+    b = pick((p, p, t, v, v, q))
     bgr = jnp.stack([b, g, r], axis=-1)
     return jnp.clip(jnp.floor(bgr), 0, 255).astype(jnp.uint8)
 

@@ -121,7 +121,7 @@ def _poly_exp_coeffs(n: int, sigma: float) -> tuple[np.ndarray, np.ndarray, np.n
 
 
 def _poly_expansion(img: jax.Array, n: int, sigma: float) -> jax.Array:
-    """Quadratic polynomial expansion -> (H, W, 5) coefficient field.
+    """Quadratic polynomial expansion -> (5, H, W) coefficient planes.
 
     Channels: [c_y, c_x, c_yy, c_xx, c_xy] (linear y/x, quadratic y^2/x^2/xy),
     computed from six separable moment correlations with replicate border.
@@ -143,7 +143,9 @@ def _poly_expansion(img: jax.Array, n: int, sigma: float) -> jax.Array:
     c_yy = b1 * ig03 + b5 * ig33
     c_xx = b1 * ig03 + b4 * ig33
     c_xy = b6 * ig55
-    return jnp.stack([c_y, c_x, c_yy, c_xx, c_xy], axis=-1)
+    # channel-PLANAR layout (5, H, W): with channels minormost the TPU pads
+    # 5 -> 128 lanes (25.6x HBM bloat); planar keeps (H, W) cleanly tiled.
+    return jnp.stack([c_y, c_x, c_yy, c_xx, c_xy], axis=0)
 
 
 def _border_scale(h: int, w: int) -> jax.Array:
@@ -161,19 +163,25 @@ def _border_scale(h: int, w: int) -> jax.Array:
     return jnp.asarray(side(h)[:, None] * side(w)[None, :])
 
 
-def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array:
-    """Per-pixel normal-equation terms M = (H, W, 5) = [G11, G12, G22, h1, h2].
+def _update_matrices(r0: jax.Array, r1i: jax.Array, flow: jax.Array) -> jax.Array:
+    """Per-pixel normal-equation planes M = (5, H, W) = [G11, G12, G22, h1, h2].
 
     Warps the next-frame expansion by the current flow (bilinear), averages
     quadratic terms, differences linear terms, and forms A^T A / A^T b for the
     2x2 displacement solve.  Outside-image warps fall back to the prev-frame
     quadratic terms with zeroed linear difference (OpenCV behavior).
+
+    r0 is channel-planar (5, H, W); r1i is the next-frame expansion ALREADY
+    interleaved as (H, W, 5) (computed once per level — the TPU lane-pads it
+    5 -> 128 and gathers full 512B lane tiles per corner, measured 3.7x
+    faster than flat per-plane takes; scalar gathers are the slow path).
+    flow is planar (2, H, W).  Elementwise math stays planar (clean tiling).
     """
-    h, w = flow.shape[:2]
+    h, w = flow.shape[1:]
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    dx = flow[..., 0]
-    dy = flow[..., 1]
+    dx = flow[0]
+    dy = flow[1]
     fx = xs + dx
     fy = ys + dy
     x1 = jnp.floor(fx)
@@ -183,33 +191,29 @@ def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array
     inside = (x1 >= 0) & (x1 <= w - 2) & (y1 >= 0) & (y1 <= h - 2)
     xi = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
     yi = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
-
-    def gat(yy, xx):
-        return r1[yy, xx]  # (H, W, 5) advanced-index gather
-
     a00 = ((1 - tx) * (1 - ty))[..., None]
     a01 = (tx * (1 - ty))[..., None]
     a10 = ((1 - tx) * ty)[..., None]
     a11 = (tx * ty)[..., None]
-    r1w = a00 * gat(yi, xi) + a01 * gat(yi, xi + 1) + a10 * gat(yi + 1, xi) + a11 * gat(yi + 1, xi + 1)
 
-    r2_in = (r0[..., 0] - r1w[..., 0]) * 0.5
-    r3_in = (r0[..., 1] - r1w[..., 1]) * 0.5
-    r4_in = (r0[..., 2] + r1w[..., 2]) * 0.5
-    r5_in = (r0[..., 3] + r1w[..., 3]) * 0.5
-    r6_in = (r0[..., 4] + r1w[..., 4]) * 0.25
+    r1w = (
+        a00 * r1i[yi, xi]
+        + a01 * r1i[yi, xi + 1]
+        + a10 * r1i[yi + 1, xi]
+        + a11 * r1i[yi + 1, xi + 1]
+    )
 
-    r2_out = r0[..., 0] * 0.5
-    r3_out = r0[..., 1] * 0.5
-    r4_out = r0[..., 2]
-    r5_out = r0[..., 3]
-    r6_out = r0[..., 4] * 0.5
+    r2_in = (r0[0] - r1w[..., 0]) * 0.5
+    r3_in = (r0[1] - r1w[..., 1]) * 0.5
+    r4_in = (r0[2] + r1w[..., 2]) * 0.5
+    r5_in = (r0[3] + r1w[..., 3]) * 0.5
+    r6_in = (r0[4] + r1w[..., 4]) * 0.25
 
-    r2 = jnp.where(inside, r2_in, r2_out)
-    r3 = jnp.where(inside, r3_in, r3_out)
-    r4 = jnp.where(inside, r4_in, r4_out)
-    r5 = jnp.where(inside, r5_in, r5_out)
-    r6 = jnp.where(inside, r6_in, r6_out)
+    r2 = jnp.where(inside, r2_in, r0[0] * 0.5)
+    r3 = jnp.where(inside, r3_in, r0[1] * 0.5)
+    r4 = jnp.where(inside, r4_in, r0[2])
+    r5 = jnp.where(inside, r5_in, r0[3])
+    r6 = jnp.where(inside, r6_in, r0[4] * 0.5)
 
     r2 = r2 + r4 * dy + r6 * dx
     r3 = r3 + r6 * dy + r5 * dx
@@ -226,35 +230,33 @@ def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array) -> jax.Array
     m2 = r5 * r5 + r6 * r6
     m3 = r4 * r2 + r6 * r3
     m4 = r6 * r2 + r5 * r3
-    return jnp.stack([m0, m1, m2, m3, m4], axis=-1)
+    return jnp.stack([m0, m1, m2, m3, m4], axis=0)
 
 
 def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
-    """winsize x winsize box sum with replicate border, per channel."""
+    """winsize x winsize box sum with replicate border; m is (C, H, W)."""
     r = winsize // 2
-    x = jnp.pad(m, ((r, r), (r, r), (0, 0)), mode="edge")
-    # separable box via conv on the already-padded array (VALID):
-    xt = jnp.transpose(x, (2, 0, 1))[:, None]  # (C,1,H+2r,W+2r)
+    x = jnp.pad(m, ((0, 0), (r, r), (r, r)), mode="edge")[:, None]  # (C,1,H+2r,W+2r)
     kx = jnp.ones((1, 1, 1, winsize), jnp.float32)
     ky = jnp.ones((1, 1, winsize, 1), jnp.float32)
-    y = jax.lax.conv_general_dilated(xt, kx, (1, 1), "VALID")
+    y = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID")
     y = jax.lax.conv_general_dilated(y, ky, (1, 1), "VALID")
-    return jnp.transpose(y[:, 0], (1, 2, 0))
+    return y[:, 0]
 
 
 def _update_flow(r0: jax.Array, r1: jax.Array, flow: jax.Array, m: jax.Array, winsize: int) -> jax.Array:
-    """Solve the box-averaged 2x2 system for the new displacement field."""
+    """Solve the box-averaged 2x2 system -> new planar flow (2, H, W)."""
     s = 1.0 / (winsize * winsize)
     mb = _box_blur(m, winsize) * s
-    g11 = mb[..., 0]
-    g12 = mb[..., 1]
-    g22 = mb[..., 2]
-    h1 = mb[..., 3]
-    h2 = mb[..., 4]
+    g11 = mb[0]
+    g12 = mb[1]
+    g22 = mb[2]
+    h1 = mb[3]
+    h2 = mb[4]
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     new_dx = (g11 * h2 - g12 * h1) * idet
     new_dy = (g22 * h1 - g12 * h2) * idet
-    return jnp.stack([new_dx, new_dy], axis=-1)
+    return jnp.stack([new_dx, new_dy], axis=0)
 
 
 @functools.partial(
@@ -300,15 +302,19 @@ def farneback_flow(
             imgs.append(_resize_linear(im, (hk, wk)))
         r0 = _poly_expansion(imgs[0], poly_n, poly_sigma)
         r1 = _poly_expansion(imgs[1], poly_n, poly_sigma)
+        r1i = jnp.transpose(r1, (1, 2, 0))  # interleave ONCE per level
 
         if flow is None:
-            flow = jnp.zeros((hk, wk, 2), jnp.float32)
+            flow = jnp.zeros((2, hk, wk), jnp.float32)
         else:
-            flow = _resize_linear(flow, (hk, wk)) * (1.0 / pyr_scale)
+            flow = jax.image.resize(
+                flow, (2, hk, wk), method="linear", antialias=False
+            ) * (1.0 / pyr_scale)
 
-        m = _update_matrices(r0, r1, flow)
+        m = _update_matrices(r0, r1i, flow)
         for i in range(iterations):
             flow = _update_flow(r0, r1, flow, m, winsize)
             if i < iterations - 1:
-                m = _update_matrices(r0, r1, flow)
-    return flow
+                m = _update_matrices(r0, r1i, flow)
+    # planar (2, H, W) internally (clean TPU tiling); (H, W, 2) API
+    return jnp.transpose(flow, (1, 2, 0))

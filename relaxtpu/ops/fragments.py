@@ -45,16 +45,19 @@ def absdiff(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 def _patchify(img: jax.Array, patch_size: int) -> jax.Array:
-    """(H, W, C) -> (n_patches, patch_size, patch_size, C), row-major patches.
+    """(H, W, C) -> (n_patches, patch_size*patch_size*C), row-major patches.
 
     Crops to a multiple of patch_size first (ref ``get_patch_diff`` crop).
+    Patches are FLAT rows (768 lanes for 16x16x3): trailing dims of (16,16,3)
+    would be lane-padded 3 -> 128 on TPU (42x waste); flat rows tile cleanly
+    and make the top-k gather pull contiguous 3KB slices.
     """
     h, w, c = img.shape
     hp, wp = h // patch_size, w // patch_size
     img = img[: hp * patch_size, : wp * patch_size]
     img = img.reshape(hp, patch_size, wp, patch_size, c)
     img = img.transpose(0, 2, 1, 3, 4)
-    return img.reshape(hp * wp, patch_size, patch_size, c)
+    return img.reshape(hp * wp, patch_size * patch_size * c)
 
 
 def patch_scores(residual: jax.Array, patch_size: int = PATCH_SIZE) -> jax.Array:
@@ -64,7 +67,7 @@ def patch_scores(residual: jax.Array, patch_size: int = PATCH_SIZE) -> jax.Array
     non-negative so the sum is exact in int32 (max 16*16*3*255 < 2^18).
     """
     patches = _patchify(residual, patch_size)
-    return jnp.sum(patches.astype(jnp.int32), axis=(1, 2, 3))
+    return jnp.sum(patches.astype(jnp.int32), axis=1)
 
 
 def top_patch_indices(scores: jax.Array, top_n: int = TOP_N) -> jax.Array:
@@ -94,9 +97,9 @@ def gather_fragment(
     n_slots = per_row * per_row
     patches = _patchify(img, patch_size)
     k = patch_ids.shape[0]
-    sel = jnp.take(patches, patch_ids, axis=0)  # (k, p, p, C)
+    sel = jnp.take(patches, patch_ids, axis=0)  # (k, p*p*C) contiguous rows
     if k < n_slots:  # degenerate small frames: zero-fill remaining slots
-        pad = jnp.zeros((n_slots - k,) + sel.shape[1:], sel.dtype)
+        pad = jnp.zeros((n_slots - k, sel.shape[1]), sel.dtype)
         sel = jnp.concatenate([sel, pad], axis=0)
     c = img.shape[-1]
     canvas = sel.reshape(per_row, per_row, patch_size, patch_size, c)

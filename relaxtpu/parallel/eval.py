@@ -68,11 +68,20 @@ class ShardedVideoEvaluator:
         out: list[np.ndarray] = []
         with cf.ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             futures = [pool.submit(decode_fn, v) for v in videos]
+            pending: list = []  # (index, device array) — dispatch-ahead queue
+
+            def drain(limit: int):
+                while len(pending) > limit:
+                    i, dev = pending.pop(0)
+                    vec = np.asarray(dev)
+                    out.append(vec)
+                    if on_result:
+                        on_result(i, vec)
+
             for i, fut in enumerate(futures):
                 frames, prev, nxt = fut.result()
-                vec = self.video_feature(frames, prev, nxt)
-                out.append(vec)
-                if on_result:
-                    on_result(i, vec)
-                log.debug("video %d done (%d frames, %d pairs)", i, len(frames), len(prev))
+                pending.append((i, self.fx.video_feature_async(frames, prev, nxt)))
+                drain(2)  # keep <=3 videos in flight: decode || transfer || compute
+                log.debug("video %d dispatched (%d frames, %d pairs)", i, len(frames), len(prev))
+            drain(0)
         return out

@@ -6,9 +6,12 @@ this file.
 """
 import os
 
-# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (real TPU); the unit
-# suite runs on a virtual 8-device CPU mesh for determinism + multi-chip tests.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: the axon TPU plugin ignores JAX_PLATFORMS, so when a real TPU is
+# attached the default backend stays TPU (conftest sets highest matmul
+# precision so f32 parity tests pass on the MXU).  The host-device-count flag
+# still creates 8 virtual CPU devices — multi-chip tests request them
+# explicitly via jax.devices("cpu") / make_mesh(platform="cpu").
+os.environ["JAX_PLATFORMS"] = "cpu"  # honored only when no axon TPU plugin
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -35,6 +35,18 @@ def test_video_feature_dim_and_layout(extractor, rng):
 
 
 @pytest.mark.slow
+def test_video_feature_async_matches_sync(extractor, rng):
+    frames = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)
+    pairs = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    sync = extractor.video_feature(frames, pairs[:-1], pairs[1:])
+    # bucket=4 pads frames 3 -> 4; masked means must keep the math exact
+    async_vec = np.asarray(
+        extractor.video_feature_async(frames, pairs[:-1], pairs[1:], bucket=4)
+    )
+    np.testing.assert_allclose(async_vec, sync, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_pair_features_batch_invariance(extractor, rng):
     """Batched execution == per-pair execution (no cross-pair leakage)."""
     pairs = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)

@@ -25,8 +25,8 @@ def synthetic_dataset(rng, n=150, d=48):
 def test_repeated_holdout_learns(rng):
     df, x = synthetic_dataset(rng)
     cfg = TrainConfig(
-        n_repeats=3, n_splits=3, epochs=6, batch_size=64, initial_lr=0.05,
-        hidden_features=32, use_swa=True, patience=3,
+        n_repeats=3, n_splits=3, epochs=20, batch_size=32, initial_lr=0.1,
+        hidden_features=32, use_swa=True, patience=5,
     )
     median, median_val, results = run_repeated_holdout(df, x, cfg, progress=lambda s: None)
     assert len(results) == 3
@@ -37,7 +37,7 @@ def test_repeated_holdout_learns(rng):
 def test_fixed_split_simple_variant(rng):
     df, x = synthetic_dataset(rng, n=200)
     cfg = TrainConfig(
-        epochs=8, batch_size=64, initial_lr=0.05, hidden_features=32,
+        epochs=30, batch_size=32, initial_lr=0.1, hidden_features=32,
         use_bn=False, kfold=False, use_swa=True,
     )
     result, trainer = run_fixed_split(
@@ -51,7 +51,7 @@ def test_fixed_split_simple_variant(rng):
 def test_fine_tune_improves_on_shifted_target(rng):
     df, x = synthetic_dataset(rng, n=160)
     y = df["mos"].to_numpy()
-    cfg = TrainConfig(epochs=6, batch_size=64, initial_lr=0.05,
+    cfg = TrainConfig(epochs=20, batch_size=32, initial_lr=0.1,
                       hidden_features=32, kfold=False, use_swa=True)
     base, trainer = run_fixed_split(x[:100], y[:100], x[100:], y[100:], cfg,
                                     progress=lambda s: None)
