@@ -160,6 +160,56 @@ def cmd_finetune(args):
     }))
 
 
+def cmd_visualize(args):
+    """Fragment attention overlay (ref ``src/demo_visual.py``)."""
+    import cv2
+    import jax.numpy as jnp
+
+    from relaxtpu.ops import absdiff, fragment_pair
+    from relaxtpu.visualize import (
+        cls_patch_attention,
+        fragment_positions,
+        last_selfattention,
+        map_attention_to_original,
+    )
+
+    extractor = _build_extractor(args)
+    prev = cv2.imread(args.frame)
+    nxt = cv2.imread(args.next_frame)
+    residual = np.abs(prev.astype(np.int32) - nxt.astype(np.int32)).astype(np.uint8)
+    diff_frag, ori_frag = fragment_pair(jnp.asarray(residual), jnp.asarray(prev))
+    positions = fragment_positions(residual)
+    attn = last_selfattention(
+        extractor.vit, extractor.vit_vars, np.asarray(ori_frag)[..., ::-1] / 255.0
+    )
+    patch_att = cls_patch_attention(attn).reshape(-1)
+    overlay = map_attention_to_original(prev, patch_att, positions)
+    cv2.imwrite(args.output, overlay)
+    print(json.dumps({"overlay": args.output, "n_patches": len(positions)}))
+
+
+def cmd_train_cross(args):
+    """Cross-dataset protocol: train on one dataset, test on another
+    (ref ``split_train_test.process_cross_dataset`` + model_regression)."""
+    import pandas as pd
+
+    from relaxtpu.data.splits import split_cross_dataset
+    from relaxtpu.model.protocol import run_fixed_split
+    from relaxtpu.model.train import TrainConfig
+    from relaxtpu.utils.checkpoint import save_snapshot
+
+    train_df = pd.read_csv(args.train_metadata)
+    test_df = pd.read_csv(args.test_metadata)
+    x_tr, y_tr, x_te, y_te, _ = split_cross_dataset(
+        train_df, test_df, np.load(args.train_features), np.load(args.test_features),
+        train_name=args.train_dataset, test_name=args.test_dataset,
+    )
+    cfg = TrainConfig(use_bn=not args.no_bn, epochs=args.epochs)
+    result, _ = run_fixed_split(x_tr, y_tr, x_te, y_te, cfg, progress=print)
+    save_snapshot(args.output, result.snapshot)
+    print(json.dumps({"srcc": result.srcc, "plcc": result.plcc, "rmse": result.rmse}))
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     from relaxtpu.utils.jaxcache import enable_compilation_cache
@@ -219,6 +269,25 @@ def main(argv=None):
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--no-bn", action="store_true")
     sp.set_defaults(fn=cmd_finetune)
+
+    sp = sub.add_parser("visualize")
+    sp.add_argument("--frame", required=True, help="original frame PNG")
+    sp.add_argument("--next-frame", required=True, help="successor frame PNG")
+    sp.add_argument("--output", default="attention_overlay.png")
+    add_backbone_flags(sp)
+    sp.set_defaults(fn=cmd_visualize)
+
+    sp = sub.add_parser("train-cross")
+    sp.add_argument("--train-dataset", default="youtube_ugc")
+    sp.add_argument("--test-dataset", default="cvd_2014")
+    sp.add_argument("--train-metadata", required=True)
+    sp.add_argument("--test-metadata", required=True)
+    sp.add_argument("--train-features", required=True)
+    sp.add_argument("--test-features", required=True)
+    sp.add_argument("--output", default="model/mlp_cross.npz")
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--no-bn", action="store_true")
+    sp.set_defaults(fn=cmd_train_cross)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -45,3 +45,19 @@ class FeatureStore:
         import scipy.io
 
         scipy.io.savemat(path, {key or dataset: self.assemble(dataset, n_videos)})
+
+
+def load_mat_features(path: str, key: str) -> np.ndarray:
+    """Load a reference-format features .mat (keyed by dataset name)."""
+    import scipy.io
+
+    return np.asarray(scipy.io.loadmat(path)[key], dtype=float)
+
+
+def load_chunked_features(paths: list[str], key: str) -> np.ndarray:
+    """vstack chunked feature .mats — the reference ships LSVQ-train features
+    in 3 chunks (ref ``split_train_test.py:86-89``)."""
+    import scipy.io
+
+    chunks = [np.asarray(scipy.io.loadmat(p)[key], dtype=float) for p in paths]
+    return np.vstack(chunks)

@@ -79,6 +79,11 @@ class FeatureExtractor:
             rgb_rn = jax.image.resize(rgb, (b, 224, 224, 3), "linear", antialias=True)
             # ViT path: PIL LANCZOS (ref visualise_vit_layer.py:466-469)
             rgb_vit = jax.image.resize(rgb, (b, 224, 224, 3), "lanczos3", antialias=True)
+            # PIL resizes produce uint8 images before ToTensor; quantize to
+            # match the reference's 8-bit intermediate (strict-parity step)
+            q = lambda x: jnp.rint(jnp.clip(x, 0.0, 1.0) * 255.0) / 255.0  # noqa: E731
+            rgb_rn = q(rgb_rn)
+            rgb_vit = q(rgb_vit)
         else:
             rgb_rn = rgb
             rgb_vit = rgb

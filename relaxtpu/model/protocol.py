@@ -44,15 +44,38 @@ def run_repeated_holdout(
     cfg: TrainConfig,
     grey_indices=None,
     progress: Callable[[str], None] = log.info,
+    resume_dir: str | None = None,
 ) -> tuple[RepeatResult, float, list[RepeatResult]]:
     """21x {80/20 holdout -> 10-fold CV training -> test metrics}; median model.
 
     random_state = ceil(8.8 * i) per repeat (ref :555) keeps splits
     bit-identical to the reference.
+
+    ``resume_dir``: persist each repeat's snapshot+metrics; completed repeats
+    are skipped on restart (the reference restarts the whole 21x protocol on
+    a crash — SURVEY §5 failure handling).
     """
+    import os
+
     results: list[RepeatResult] = []
     trainer: MlpTrainer | None = None
     for i in range(1, cfg.n_repeats + 1):
+        if resume_dir:
+            ck = os.path.join(resume_dir, f"repeat_{i:02d}.npz")
+            if os.path.exists(ck):
+                data = np.load(ck, allow_pickle=True)
+                from relaxtpu.utils.checkpoint import load_snapshot
+
+                results.append(
+                    RepeatResult(
+                        float(data["srcc"]), float(data["krcc"]), float(data["plcc"]),
+                        float(data["rmse"]), list(data["test_vids"]),
+                        data["y_test"], data["y_pred"],
+                        load_snapshot(os.path.join(resume_dir, f"repeat_{i:02d}_model.npz")),
+                    )
+                )
+                progress(f"repeat {i}: resumed from {ck}")
+                continue
         t0 = time.time()
         random_state = math.ceil(8.8 * i)
         x_tr, y_tr, x_te, y_te, test_vids = split_other(
@@ -71,6 +94,17 @@ def run_repeated_holdout(
         results.append(
             RepeatResult(srcc, krcc, plcc, rmse, list(test_vids), y_te, y_pred, snapshot)
         )
+        if resume_dir:
+            os.makedirs(resume_dir, exist_ok=True)
+            from relaxtpu.utils.checkpoint import save_snapshot
+
+            save_snapshot(os.path.join(resume_dir, f"repeat_{i:02d}_model.npz"), snapshot)
+            np.savez(
+                os.path.join(resume_dir, f"repeat_{i:02d}.npz"),
+                srcc=srcc, krcc=krcc, plcc=plcc, rmse=rmse,
+                test_vids=np.asarray(list(test_vids), dtype=object),
+                y_test=y_te, y_pred=y_pred,
+            )
         progress(
             f"repeat {i}/{cfg.n_repeats}: SRCC {srcc:.4f} KRCC {krcc:.4f} "
             f"PLCC {plcc:.4f} RMSE {rmse:.4f} ({time.time() - t0:.1f}s)"
