@@ -27,7 +27,8 @@ def mae_and_rank_loss(
         n = y_pred.shape[0]
         l_mae = jnp.mean(jnp.abs(y_pred - y_true)) * l1_w
         pair_mask = 1.0
-        denom = n * (n - 1)
+        # guard n=1 (the reference divides by zero there; latent bug)
+        denom = max(n * (n - 1), 1)
     else:
         mask = mask.astype(y_pred.dtype)
         n = jnp.sum(mask)

@@ -347,6 +347,13 @@ def train_and_evaluate(
                         log(f"fold {fold + 1}: early stop after {epoch + 1} epochs")
                         break
 
+        # degenerate folds (tiny val sets where every metric fit fails) would
+        # otherwise leave no selection — fall back to the final raw model
+        if best_snapshot is None:
+            best_snapshot = ModelSnapshot(
+                jax.tree.map(lambda a: a, params), jax.tree.map(lambda a: a, batch_stats)
+            )
+
         # ---- SWA BN recalibration on this fold's train split (ref :454-459)
         if cfg.use_swa and best_snapshot is not None:
             best_snapshot = trainer.update_bn(best_snapshot, x_tr, rng)

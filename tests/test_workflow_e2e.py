@@ -1,0 +1,82 @@
+"""End-to-end user workflow: extract -> train -> predict on a toy dataset.
+
+Drives the CLI entry points in-process (same code path as the console) with
+tiny synthetic videos and a reduced protocol.
+"""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+
+def _write_video(path, rng, n=30, w=128, h=96, fps=24):
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h + 20, w + 20, 3), dtype=np.uint8).astype(np.float32), (0, 0), 2
+    )
+    for i in range(n):
+        ox, oy = int(8 + 6 * np.sin(i / 5)), int(8 + 5 * np.cos(i / 7))
+        frame = np.clip(base[oy : oy + h, ox : ox + w] + rng.normal(0, 5, (h, w, 3)), 0, 255)
+        vw.write(frame.astype(np.uint8))
+    vw.release()
+
+
+@pytest.mark.slow
+def test_extract_train_predict_workflow(tmp_path, rng, capsys):
+    from relaxtpu.cli.__main__ import main
+
+    # --- toy dataset: 4 videos + metadata
+    vids = []
+    data_root = tmp_path / "konvid"
+    (data_root / "KoNViD_1k_videos").mkdir(parents=True)
+    for i in range(4):
+        vid = f"100{i}"
+        _write_video(str(data_root / "KoNViD_1k_videos" / f"{vid}.mp4"), rng)
+        vids.append(vid)
+    meta = pd.DataFrame(
+        {"vid": vids, "mos": [2.1, 3.3, 4.0, 2.8], "framerate": 24.0,
+         "width": 128, "height": 96, "pixfmt": "yuv420p"}
+    )
+    meta_csv = str(tmp_path / "meta.csv")
+    meta.to_csv(meta_csv, index=False)
+
+    # --- extract
+    out_dir = str(tmp_path / "features")
+    main([
+        "extract", "--dataset", "konvid_1k", "--root", str(data_root),
+        "--metadata-csv", meta_csv, "--output", out_dir,
+    ])
+    feats = np.load(f"{out_dir}/konvid_1k_features.npy")
+    assert feats.shape == (4, 35203)
+    assert np.isfinite(feats).all()
+
+    # --- train (tiny protocol)
+    model_path = str(tmp_path / "mlp.npz")
+    main([
+        "train", "--metadata-csv", meta_csv, "--features", f"{out_dir}/konvid_1k_features.npy",
+        "--output", model_path, "--n-repeats", "2", "--n-splits", "2",
+        "--epochs", "2", "--batch-size", "4",
+    ])
+    assert os.path.exists(model_path)
+
+    # --- predict on one of the videos
+    import joblib
+    from sklearn.impute import SimpleImputer
+    from sklearn.preprocessing import MinMaxScaler
+
+    imp = SimpleImputer(strategy="mean").fit(feats)
+    sc = MinMaxScaler().fit(feats)
+    joblib.dump(imp, str(tmp_path / "imp.pkl"))
+    joblib.dump(sc, str(tmp_path / "sc.pkl"))
+    main([
+        "predict", "--video", str(data_root / "KoNViD_1k_videos" / "1000.mp4"),
+        "--video-type", "konvid_1k", "--model", model_path,
+        "--imputer", str(tmp_path / "imp.pkl"), "--scaler", str(tmp_path / "sc.pkl"),
+    ])
+    out = capsys.readouterr().out.strip().splitlines()
+    pred = json.loads(out[-1])
+    assert "predicted_mos" in pred and np.isfinite(pred["predicted_mos"])
