@@ -77,7 +77,7 @@ def cmd_extract(args):
 
     from relaxtpu.data.store import FeatureStore
     from relaxtpu.io.datasets import data_root, get_dataset, load_metadata
-    from relaxtpu.io.video import decode_frame_pairs, decode_sampled_frames
+    from relaxtpu.io.video import decode_video_inputs
 
     spec = get_dataset(args.dataset)
     df = load_metadata(spec, args.metadata_dir) if args.metadata_csv is None else pd.read_csv(args.metadata_csv)
@@ -89,8 +89,9 @@ def cmd_extract(args):
         if store.has(args.dataset, i):
             continue
         path = spec.video_path(root, str(row["vid"]))
-        frames = decode_sampled_frames(path, row.get("framerate"), row.get("width"), row.get("height"))
-        prev, nxt = decode_frame_pairs(path, row.get("framerate"), row.get("width"), row.get("height"))
+        frames, prev, nxt = decode_video_inputs(
+            path, row.get("framerate"), row.get("width"), row.get("height")
+        )
         stack, vit_stats = extractor.frame_features(frames)
         frag_rn, frag_vit = extractor.pair_features(prev, nxt)
         n = min(len(stack), len(frag_rn))

@@ -161,6 +161,42 @@ def decode_sampled_frames(
     return np.stack(frames)
 
 
+def decode_video_inputs(
+    path: str,
+    framerate: float | None = None,
+    width: int | None = None,
+    height: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(frames, prev, nxt) in ONE decode pass.
+
+    The sampled full frames and the pairs' first frames are the same indices
+    (0, i, 2i, ...), so everything comes from a single set {k*i} U {k*i+1}
+    — the reference decodes the video twice via two ffmpeg subprocesses
+    (``process_video`` + ``process_video_residual``).
+    """
+    is_yuv = path.endswith(".yuv")
+    if framerate is None:
+        framerate = probe_video(path)["framerate"]
+    interval = frame_interval_for(framerate)
+    if is_yuv:
+        n = _yuv420_frame_count(path, width, height)
+    else:
+        n = probe_video(path)["nb_frames"]
+    firsts = sample_indices(n, interval)
+    pairs = residual_pair_indices(n, interval)
+    flat = sorted({i for p in pairs for i in p} | set(firsts))
+    if is_yuv:
+        decoded = _read_yuv420_frames(path, width, height, flat)
+    else:
+        decoded = _read_video_frames(path, flat)
+    lookup = dict(zip(flat, decoded))
+    frames = np.stack([lookup[i] for i in firsts if i in lookup])
+    pairs = [(a, b) for a, b in pairs if a in lookup and b in lookup]
+    prev = np.stack([lookup[a] for a, _ in pairs])
+    nxt = np.stack([lookup[b] for _, b in pairs])
+    return frames, prev, nxt
+
+
 def decode_frame_pairs(
     path: str,
     framerate: float | None = None,

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from relaxtpu.features.pipeline import FeatureExtractor
-from relaxtpu.io.video import decode_frame_pairs, decode_sampled_frames
+from relaxtpu.io.video import decode_frame_pairs, decode_sampled_frames  # noqa: F401 (public API)
 from relaxtpu.model.mlp import Mlp
 from relaxtpu.model.scalers import FeatureScaler
 from relaxtpu.data.mos import pred_0_100_to_1_5
@@ -54,7 +54,8 @@ class VideoQualityPredictor:
 
     def predict_file(self, path: str, framerate: float | None = None,
                      width: int | None = None, height: int | None = None) -> float:
-        frames = decode_sampled_frames(path, framerate, width, height)
-        prev, nxt = decode_frame_pairs(path, framerate, width, height)
+        from relaxtpu.io.video import decode_video_inputs
+
+        frames, prev, nxt = decode_video_inputs(path, framerate, width, height)
         log.info("decoded %d frames, %d pairs from %s", len(frames), len(prev), path)
         return self.predict_arrays(frames, prev, nxt)
