@@ -19,3 +19,19 @@ MOS prediction — redesigned TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):  # lazy top-level API (avoids importing jax at pkg import)
+    if name == "FeatureExtractor":
+        from relaxtpu.features.pipeline import FeatureExtractor
+
+        return FeatureExtractor
+    if name == "VideoQualityPredictor":
+        from relaxtpu.predict import VideoQualityPredictor
+
+        return VideoQualityPredictor
+    if name == "RunConfig":
+        from relaxtpu.config import RunConfig
+
+        return RunConfig
+    raise AttributeError(name)

@@ -49,7 +49,7 @@ def _build_extractor(args):
 
 
 def cmd_predict(args):
-    from relaxtpu.model.mlp import Mlp, port_torch_mlp
+    from relaxtpu.model.mlp import port_torch_mlp
     from relaxtpu.model.scalers import FeatureScaler
     from relaxtpu.predict import VideoQualityPredictor
 
@@ -166,7 +166,7 @@ def cmd_visualize(args):
     import cv2
     import jax.numpy as jnp
 
-    from relaxtpu.ops import absdiff, fragment_pair
+    from relaxtpu.ops import fragment_pair
     from relaxtpu.visualize import (
         cls_patch_attention,
         fragment_positions,

@@ -32,7 +32,6 @@ from relaxtpu.ops import (
     bgr_to_gray,
     farneback_flow,
     flow_to_bgr,
-    fragment_pair,
     gather_fragment,
     patch_scores,
     top_patch_indices,

@@ -25,7 +25,6 @@ a few stages in float64; agreement is validated at the flow-field level in
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -116,7 +116,7 @@ def warp_planes_pallas(planes: jax.Array, flow: jax.Array, interpret: bool = Fal
         grid=grid,
         in_specs=[
             pl.BlockSpec((2, BLOCK_ROWS, w), lambda p, b: (0, b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, BLOCK_ROWS, w), lambda p, b: (p, b, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c, h, w), planes.dtype),
