@@ -161,7 +161,13 @@ class FeatureExtractor:
         Frame/pair counts are padded up to a multiple of ``bucket`` (masked
         means keep the math exact), so videos of similar length share one
         compiled program instead of recompiling per count.
+
+        High resolutions where the flow-warp operand would blow HBM fall back
+        to the chunked synchronous path (still correct, less overlap).
         """
+        f = np.asarray(frames_bgr_u8)
+        if len(np.asarray(prev_bgr_u8)) > self.max_pair_batch(f.shape[1], f.shape[2]):
+            return jnp.asarray(self.video_feature(frames_bgr_u8, prev_bgr_u8, next_bgr_u8))
         if not hasattr(self, "_video_fn_v"):
             self._video_fn_v = jax.jit(self._video_vec)
 
@@ -186,13 +192,34 @@ class FeatureExtractor:
             jnp.asarray(n_pairs, jnp.int32),
         )
 
+    def max_pair_batch(self, h: int, w: int) -> int:
+        """HBM budget for the flow warp: the lane-padded interleaved operand
+        costs H*W*128*4 bytes per pair, and one fused gather output peaks at
+        the same size; cap in-flight pairs at ~8.5 GB for the two (16 GB v5e
+        chip).  540p -> 16 (empirically validated), 1080p -> 4."""
+        per_pair = h * w * 128 * 4
+        return max(1, min(16, int(8.5e9 // (2 * per_pair))))
+
     def frame_features(self, frames_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
         stack, vit_stats = self._frame_fn(jnp.asarray(frames_bgr_u8))
         return np.asarray(stack), np.asarray(vit_stats)
 
     def pair_features(self, prev_bgr_u8, next_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
-        fr, fv = self._pair_fn(jnp.asarray(prev_bgr_u8), jnp.asarray(next_bgr_u8))
-        return np.asarray(fr), np.asarray(fv)
+        prev_bgr_u8 = np.asarray(prev_bgr_u8)
+        next_bgr_u8 = np.asarray(next_bgr_u8)
+        bmax = self.max_pair_batch(prev_bgr_u8.shape[1], prev_bgr_u8.shape[2])
+        if len(prev_bgr_u8) <= bmax:
+            fr, fv = self._pair_fn(jnp.asarray(prev_bgr_u8), jnp.asarray(next_bgr_u8))
+            return np.asarray(fr), np.asarray(fv)
+        frs, fvs = [], []
+        for i in range(0, len(prev_bgr_u8), bmax):
+            fr, fv = self._pair_fn(
+                jnp.asarray(prev_bgr_u8[i : i + bmax]),
+                jnp.asarray(next_bgr_u8[i : i + bmax]),
+            )
+            frs.append(np.asarray(fr))
+            fvs.append(np.asarray(fv))
+        return np.concatenate(frs), np.concatenate(fvs)
 
     def video_feature(self, frames_bgr_u8, prev_bgr_u8, next_bgr_u8) -> np.ndarray:
         """Full 35,203-dim per-video vector (ref demo_test.py:171-175)."""
