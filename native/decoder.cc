@@ -20,10 +20,13 @@ extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 namespace {
@@ -37,6 +40,9 @@ struct Decoder {
   int height = 0;
   double fps = 0.0;
   int64_t nb_frames = 0;  // container hint; may be 0 for some formats
+  int bitdepth = 0;       // bits per raw sample (ffprobe bits_per_raw_sample)
+  int64_t bitrate = 0;    // stream bitrate, container fallback
+  char pixfmt[64] = {0};  // pixel format name (e.g. "yuv420p")
 };
 
 }  // namespace
@@ -77,6 +83,66 @@ void* relax_open(const char* path) {
   AVRational r = st->avg_frame_rate.num ? st->avg_frame_rate : st->r_frame_rate;
   d->fps = r.den ? static_cast<double>(r.num) / r.den : 0.0;
   d->nb_frames = st->nb_frames;
+  // metadata parity with ffprobe stream=pix_fmt,bits_per_raw_sample,bit_rate
+  // (reference extract_metadata_NR.py:28-51)
+  AVPixelFormat pf = static_cast<AVPixelFormat>(st->codecpar->format);
+  const char* pfname = av_get_pix_fmt_name(pf);
+  if (pfname) snprintf(d->pixfmt, sizeof(d->pixfmt), "%s", pfname);
+  d->bitdepth = st->codecpar->bits_per_raw_sample;
+  if (d->bitdepth == 0) {
+    const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(pf);
+    if (desc && desc->nb_components > 0) d->bitdepth = desc->comp[0].depth;
+  }
+  d->bitrate = st->codecpar->bit_rate ? st->codecpar->bit_rate : d->fmt->bit_rate;
+  return d;
+}
+
+// Open a raw .yuv elementary stream (LIVE-Qualcomm style): geometry, pixel
+// format, and framerate must be supplied (reference passes -s/-pix_fmt/
+// -framerate to ffmpeg, video_frames_extract.py:29-49).
+void* relax_open_raw(const char* path, int width, int height,
+                     const char* pixfmt, double fps) {
+  auto* d = new Decoder();
+  const AVInputFormat* ifmt = av_find_input_format("rawvideo");
+  AVDictionary* opts = nullptr;
+  char buf[64];
+  snprintf(buf, sizeof(buf), "%dx%d", width, height);
+  av_dict_set(&opts, "video_size", buf, 0);
+  av_dict_set(&opts, "pixel_format", pixfmt && pixfmt[0] ? pixfmt : "yuv420p", 0);
+  snprintf(buf, sizeof(buf), "%.6f", fps > 0 ? fps : 30.0);
+  av_dict_set(&opts, "framerate", buf, 0);
+  int rc = avformat_open_input(&d->fmt, path, ifmt, &opts);
+  av_dict_free(&opts);
+  if (rc < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->stream_index =
+      av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  AVStream* st = d->fmt->streams[d->stream_index];
+  const AVCodec* dec = avcodec_find_decoder(st->codecpar->codec_id);
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, st->codecpar);
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  d->fps = fps > 0 ? fps : 30.0;
+  d->nb_frames = st->nb_frames;
+  AVPixelFormat pf = static_cast<AVPixelFormat>(st->codecpar->format);
+  const char* pfname = av_get_pix_fmt_name(pf);
+  if (pfname) snprintf(d->pixfmt, sizeof(d->pixfmt), "%s", pfname);
+  const AVPixFmtDescriptor* desc = av_pix_fmt_desc_get(pf);
+  if (desc && desc->nb_components > 0) d->bitdepth = desc->comp[0].depth;
   return d;
 }
 
@@ -87,6 +153,17 @@ int relax_info(void* handle, int* w, int* h, double* fps, int64_t* nframes) {
   *h = d->height;
   *fps = d->fps;
   *nframes = d->nb_frames;
+  return 0;
+}
+
+// Extended stream metadata: pixel-format name, bit depth, bitrate.
+int relax_info_ex(void* handle, char* pixfmt, int pixfmt_len, int* bitdepth,
+                  int64_t* bitrate) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return -1;
+  if (pixfmt && pixfmt_len > 0) snprintf(pixfmt, pixfmt_len, "%s", d->pixfmt);
+  if (bitdepth) *bitdepth = d->bitdepth;
+  if (bitrate) *bitrate = d->bitrate;
   return 0;
 }
 

@@ -72,10 +72,65 @@ def cmd_predict(args):
     print(json.dumps({"video": args.video, "predicted_mos": mos}))
 
 
+def _extract_one(extractor, ablation, mode, network, layer, frames, prev, nxt):
+    """Per-video features for one extraction mode.
+
+    Returns the stored array: the reduced (35203,) vector for the full model
+    (each segment meaned over its OWN frame/pair count — ref
+    ``demo_test.py:171-175``), or the per-frame/per-pair matrix for the
+    reference's ablation drivers (``main_residual.py:226-268``,
+    ``main_residual_fragment.py:273-317``, ``main_layer.py:81-113``,
+    ``main_layer_stack.py:115-151``, ``main_fragment_pool.py:310-327``).
+    """
+    if mode == "full":
+        return extractor.video_feature(frames, prev, nxt)
+    if mode in ("layer_stack", "layer"):  # full frames, one network
+        stack, vit_stats = extractor.frame_features(frames)
+        if network == "vit":
+            return vit_stats
+        if mode == "layer_stack":
+            return stack
+        # single-layer full-frame taps (main_layer.py): pool / last_layer
+        return _single_layer_frames(extractor, ablation, network, layer, frames)
+    if mode == "fragment_layerstack":
+        return extractor.pair_features(prev, nxt)[0]
+    if mode == "fragment_pool":
+        return extractor.pair_features(prev, nxt)[1]
+    # residual ablation variants over pairs
+    bmax = extractor.max_pair_batch(prev.shape[1], prev.shape[2])
+    outs = [
+        ablation.pair_features(mode, network, layer, prev[i : i + bmax], nxt[i : i + bmax])
+        for i in range(0, len(prev), bmax)
+    ]
+    return np.concatenate(outs)
+
+
+def _single_layer_frames(extractor, ablation, network, layer, frames):
+    """Full-frame single-tap features (ref main_layer.py) via the ablation
+    feature program with a zero residual path replaced by the frame itself."""
+    import jax
+    import jax.numpy as jnp
+
+    key = ("__frames__", network, layer)
+    if key not in ablation._fns:
+        def fn(rv, vv, imgs):
+            return ablation._features_from_images(network, layer, rv, vv, imgs)
+
+        ablation._fns[key] = jax.jit(fn)
+    out = ablation._fns[key](
+        extractor.resnet_vars, extractor.vit_vars, jnp.asarray(frames)
+    )
+    return np.asarray(out)
+
+
 def cmd_extract(args):
+    import concurrent.futures as cf
+    import contextlib
+
     import pandas as pd
 
     from relaxtpu.data.store import FeatureStore
+    from relaxtpu.features.ablation import AblationExtractor
     from relaxtpu.io.datasets import data_root, get_dataset, load_metadata
     from relaxtpu.io.video import decode_video_inputs
 
@@ -83,26 +138,74 @@ def cmd_extract(args):
     df = load_metadata(spec, args.metadata_dir) if args.metadata_csv is None else pd.read_csv(args.metadata_csv)
     store = FeatureStore(args.output)
     extractor = _build_extractor(args)
+    ablation = AblationExtractor(extractor)
     root = data_root(args.root)
+    tag = args.dataset if args.mode == "full" else f"{args.dataset}_{args.mode}"
 
-    for i, row in df.iterrows():
-        if store.has(args.dataset, i):
-            continue
-        path = spec.video_path(root, str(row["vid"]))
-        frames, prev, nxt = decode_video_inputs(
-            path, row.get("framerate"), row.get("width"), row.get("height")
+    todo = [(i, row) for i, row in df.iterrows() if not store.has(tag, i)]
+    pending: list = []  # (index, device array) — dispatch-ahead queue
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            j, dev = pending.pop(0)
+            store.put(tag, j, np.asarray(dev))
+            logging.info("extracted video %d [%d todo]", j + 1, len(pending))
+
+    def decode(row):
+        return decode_video_inputs(
+            spec.video_path(root, str(row["vid"])),
+            row.get("framerate"), row.get("width"), row.get("height"),
         )
-        stack, vit_stats = extractor.frame_features(frames)
-        frag_rn, frag_vit = extractor.pair_features(prev, nxt)
-        n = min(len(stack), len(frag_rn))
-        per_frame = np.concatenate(
-            [stack[:n], vit_stats[:n], frag_rn[:n], frag_vit[:n]], axis=-1
+
+    profile = contextlib.nullcontext()
+    if getattr(args, "profile_dir", None):
+        from relaxtpu.utils.profiling import trace_to
+
+        profile = trace_to(args.profile_dir)
+    with profile, cf.ThreadPoolExecutor(max_workers=args.decode_workers) as pool:
+        futures = [pool.submit(decode, row) for _, row in todo]
+        for (i, row), fut in zip(todo, futures):
+            frames, prev, nxt = fut.result()
+            if args.mode == "full":
+                # async dispatch: decode || transfer || compute pipelining
+                pending.append((i, extractor.video_feature_async(frames, prev, nxt)))
+                drain(args.dispatch_ahead)
+            else:
+                feat = _extract_one(
+                    extractor, ablation, args.mode, args.network, args.layer,
+                    frames, prev, nxt,
+                )
+                store.put(tag, i, feat)
+                logging.info("extracted %s [%d/%d]", row["vid"], i + 1, len(df))
+        drain(0)
+    mat = store.assemble(tag, len(df))
+    np.save(f"{args.output}/{tag}_features.npy", mat)
+    if args.save_mat:
+        store.save_mat(tag, len(df), args.save_mat, key=args.dataset)
+    print(json.dumps({"dataset": args.dataset, "mode": args.mode, "shape": list(mat.shape)}))
+
+
+def _grey_indices_for(args, dataset: str):
+    """Greyscale rows to drop: explicit report path, else the conventional
+    location for youtube_ugc (ref ``split_train_test.py:113-117`` drops them
+    only for that dataset)."""
+    import os
+
+    from relaxtpu.data.greyscale import load_grey_indices
+
+    report = getattr(args, "greyscale_report", None)
+    if report is None and dataset == "youtube_ugc":
+        report = os.path.join(
+            args.metadata_dir, "greyscale_report",
+            f"{dataset.upper()}_greyscale_metadata.csv",
         )
-        store.put(args.dataset, i, per_frame)
-        logging.info("extracted %s [%d/%d]", row["vid"], i + 1, len(df))
-    mat = store.assemble(args.dataset, len(df))
-    np.save(f"{args.output}/{args.dataset}_features.npy", mat)
-    print(json.dumps({"dataset": args.dataset, "shape": list(mat.shape)}))
+        if not os.path.exists(report):
+            logging.warning(
+                "youtube_ugc: no greyscale report at %s — greyscale videos "
+                "will NOT be dropped (run `relaxtpu greyscale` first)", report,
+            )
+            return None
+    return load_grey_indices(report) if report else None
 
 
 def cmd_train(args):
@@ -125,7 +228,13 @@ def cmd_train(args):
         use_bn=not args.no_bn,
         kfold=not args.no_kfold,
     )
-    median, median_val, results = run_repeated_holdout(df, features, cfg, progress=print)
+    grey = _grey_indices_for(args, args.dataset)
+    if grey:
+        logging.info("dropping %d greyscale videos", len(grey))
+    median, median_val, results = run_repeated_holdout(
+        df, features, cfg, grey_indices=grey, progress=print,
+        resume_dir=args.resume_dir,
+    )
     save_snapshot(args.output, median.snapshot)
     print(json.dumps({
         "median_srcc": float(np.median([r.srcc for r in results])),
@@ -134,6 +243,71 @@ def cmd_train(args):
         "median_rmse": float(np.median([r.rmse for r in results])),
         "model": args.output,
     }))
+
+
+def cmd_train_lsvq(args):
+    """LSVQ fixed-split protocol (ref ``split_train_test.process_lsvq`` +
+    ``model_regression_simple.py``: single split, kfold off, no BN)."""
+    import pandas as pd
+
+    from relaxtpu.data.splits import split_lsvq
+    from relaxtpu.data.store import load_chunked_features, load_mat_features
+    from relaxtpu.model.protocol import run_fixed_split
+    from relaxtpu.model.train import TrainConfig
+    from relaxtpu.utils.checkpoint import save_snapshot
+
+    train_df = pd.read_csv(args.train_metadata)
+    test_df = pd.read_csv(args.test_metadata)
+
+    def load_feats(paths, key):
+        if len(paths) == 1 and paths[0].endswith(".npy"):
+            return np.load(paths[0])
+        if len(paths) == 1:
+            return load_mat_features(paths[0], key)
+        return load_chunked_features(paths, key)
+
+    x_tr = load_feats(args.train_features, args.train_key)
+    x_te = load_feats(args.test_features, args.test_key)
+    x_tr, y_tr, x_te, y_te, _ = split_lsvq(train_df, test_df, x_tr, x_te)
+    cfg = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        initial_lr=args.lr,
+        weight_decay=args.weight_decay,
+        select_criteria=args.select_criteria,
+        use_bn=False,
+        kfold=False,
+    )
+    result, _ = run_fixed_split(x_tr, y_tr, x_te, y_te, cfg, progress=print)
+    save_snapshot(args.output, result.snapshot)
+    print(json.dumps({
+        "srcc": result.srcc, "krcc": result.krcc,
+        "plcc": result.plcc, "rmse": result.rmse, "model": args.output,
+    }))
+
+
+def cmd_greyscale(args):
+    """Greyscale-video report (ref ``src/data_processing/check_greyscale.py``)."""
+    import os
+
+    import pandas as pd
+
+    from relaxtpu.data.greyscale import greyscale_report
+    from relaxtpu.io.datasets import data_root, get_dataset, load_metadata
+
+    spec = get_dataset(args.dataset)
+    df = load_metadata(spec, args.metadata_dir) if args.metadata_csv is None else pd.read_csv(args.metadata_csv)
+    root = data_root(args.root)
+    report = greyscale_report(
+        df, lambda row: spec.video_path(root, str(row["vid"])), progress=logging.info
+    )
+    out = args.output or os.path.join(
+        args.metadata_dir, "greyscale_report",
+        f"{args.dataset.upper()}_greyscale_metadata.csv",
+    )
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    report.to_csv(out, index=False)
+    print(json.dumps({"output": out, "n_greyscale": len(report)}))
 
 
 def cmd_finetune(args):
@@ -189,6 +363,50 @@ def cmd_visualize(args):
     print(json.dumps({"overlay": args.output, "n_patches": len(positions)}))
 
 
+def cmd_parity(args):
+    """Strict-parity readiness vs the reference's shipped artifacts
+    (see relaxtpu/parity.py; runs the moment the blobs land)."""
+    if args.check == "head":
+        from relaxtpu.parity import head_parity
+
+        report = head_parity(
+            args.dataset, args.features_mat, args.metadata_csv, args.result_mat,
+            args.model, args.imputer, args.scaler, args.expected_csv,
+            greyscale_report=args.greyscale_report, use_bn=not args.no_bn,
+        )
+        print(report.to_json())
+        return 0 if report.ok else 1
+    from relaxtpu.parity import demo_parity
+
+    out = demo_parity(
+        args.video, args.video_type, args.model, args.imputer, args.scaler,
+        args.resnet_weights, args.vit_weights, expected_mos=args.expected_mos,
+    )
+    print(json.dumps(out))
+    return 0 if out.get("ok", True) else 1
+
+
+def cmd_metadata(args):
+    """Dataset metadata CSV (ref ``src/data_processing/extract_metadata_NR.py``)."""
+    from relaxtpu.io.metadata import (
+        extract_metadata,
+        metadata_from_csv,
+        metadata_from_info_mat,
+    )
+
+    if args.info_mat:
+        df = metadata_from_info_mat(
+            args.info_mat, args.video_dir, video_type=args.video_type,
+            framerate_hint=args.framerate,
+        )
+    elif args.csv:
+        df = metadata_from_csv(args.csv, args.video_dir, video_type=args.video_type)
+    else:
+        df = extract_metadata(args.video_dir)
+    df.to_csv(args.output, index=False)
+    print(json.dumps({"output": args.output, "n_videos": len(df)}))
+
+
 def cmd_train_cross(args):
     """Cross-dataset protocol: train on one dataset, test on another
     (ref ``split_train_test.process_cross_dataset`` + model_regression)."""
@@ -211,11 +429,39 @@ def cmd_train_cross(args):
     print(json.dumps({"srcc": result.srcc, "plcc": result.plcc, "rmse": result.rmse}))
 
 
-def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
-    from relaxtpu.utils.jaxcache import enable_compilation_cache
-    enable_compilation_cache()
+def _apply_config(argv, subparsers) -> str | None:
+    """Pre-scan for ``--config``; its RunConfig values become the DEFAULTS of
+    every subcommand (explicit flags still win).  Returns the cache dir."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    known, _ = pre.parse_known_args(argv)
+    if not known.config:
+        return None
+    from relaxtpu.config import RunConfig
+
+    cfg = RunConfig.load(known.config)
+    ex, tr, rt = cfg.extract, cfg.train, cfg.runtime
+    subparsers["extract"].set_defaults(
+        dataset=ex.dataset, root=ex.data_root, metadata_dir=ex.metadata_dir,
+        output=ex.output_dir, resnet_weights=ex.resnet_weights,
+        vit_weights=ex.vit_weights, bf16=(ex.backbone_dtype == "bfloat16"),
+        decode_workers=rt.decode_workers, dispatch_ahead=rt.dispatch_ahead,
+        profile_dir=rt.profile_dir,
+    )
+    subparsers["train"].set_defaults(
+        dataset=ex.dataset, metadata_dir=ex.metadata_dir,
+        n_repeats=tr.n_repeats, n_splits=tr.n_splits, batch_size=tr.batch_size,
+        epochs=tr.epochs, lr=tr.initial_lr, weight_decay=tr.weight_decay,
+        select_criteria=tr.select_criteria, no_bn=not tr.use_bn,
+        no_kfold=not tr.kfold,
+    )
+    return rt.compilation_cache
+
+
+def build_parser():
+    """(parser, {name: subparser}) — exposed so tests drive the real parser."""
     p = argparse.ArgumentParser(prog="relaxtpu")
+    p.add_argument("--config", default=None, help="RunConfig JSON (defaults for all flags)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     def add_backbone_flags(sp):
@@ -242,11 +488,35 @@ def main(argv=None):
     sp.add_argument("--metadata-dir", default="metadata")
     sp.add_argument("--metadata-csv", default=None)
     sp.add_argument("--output", default="features_out")
+    sp.add_argument(
+        "--mode",
+        default="full",
+        choices=[
+            "full",              # final 35,203 model features (demo_test.py)
+            "layer_stack",       # full frames, multi-tap (main_layer_stack.py)
+            "layer",             # full frames, single tap (main_layer.py)
+            "fragment_layerstack",  # ori+merged fragments (main_fragment_layerstack.py)
+            "fragment_pool",        # ViT fragment pool (main_fragment_pool.py)
+            "frame_diff",           # whole residual (main_residual.py)
+            "optical_flow",         # whole flow image (main_residual.py of)
+            "frame_diff_frag",      # residual fragment (main_residual_fragment.py)
+            "optical_flow_frag",    # flow fragment (main_residual_fragment.py of)
+        ],
+    )
+    sp.add_argument("--network", default="resnet50", choices=["resnet50", "vit"])
+    sp.add_argument("--layer", default="pool", choices=["pool", "last_layer", "layer_stack"])
+    sp.add_argument("--save-mat", default=None, help="also export reference-format .mat")
+    sp.add_argument("--decode-workers", type=int, default=4)
+    sp.add_argument("--dispatch-ahead", type=int, default=2)
+    sp.add_argument("--profile-dir", default=None, help="jax profiler trace dir")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_extract)
+    subparser_map = {"extract": sp}
 
     sp = sub.add_parser("train")
+    sp.add_argument("--dataset", default="konvid_1k")
     sp.add_argument("--metadata-csv", required=True)
+    sp.add_argument("--metadata-dir", default="metadata")
     sp.add_argument("--features", required=True, help=".npy (n_videos, 35203)")
     sp.add_argument("--output", default="model/mlp.npz")
     sp.add_argument("--n-repeats", type=int, default=21)
@@ -258,7 +528,35 @@ def main(argv=None):
     sp.add_argument("--select-criteria", default="byrmse")
     sp.add_argument("--no-bn", action="store_true")
     sp.add_argument("--no-kfold", action="store_true")
+    sp.add_argument("--greyscale-report", default=None,
+                    help="greyscale report csv (auto-located for youtube_ugc)")
+    sp.add_argument("--resume-dir", default=None, help="per-repeat checkpoint dir")
     sp.set_defaults(fn=cmd_train)
+    subparser_map["train"] = sp
+
+    sp = sub.add_parser("train-lsvq")
+    sp.add_argument("--train-metadata", required=True)
+    sp.add_argument("--test-metadata", required=True)
+    sp.add_argument("--train-features", nargs="+", required=True,
+                    help=".npy or chunked .mat files (ref ships 3 LSVQ chunks)")
+    sp.add_argument("--test-features", nargs="+", required=True)
+    sp.add_argument("--train-key", default="lsvq_train")
+    sp.add_argument("--test-key", default="lsvq_test")
+    sp.add_argument("--output", default="model/mlp_lsvq.npz")
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--batch-size", type=int, default=256)
+    sp.add_argument("--lr", type=float, default=1e-2)
+    sp.add_argument("--weight-decay", type=float, default=5e-4)
+    sp.add_argument("--select-criteria", default="bykrcc")
+    sp.set_defaults(fn=cmd_train_lsvq)
+
+    sp = sub.add_parser("greyscale")
+    sp.add_argument("--dataset", required=True)
+    sp.add_argument("--root", default=None)
+    sp.add_argument("--metadata-dir", default="metadata")
+    sp.add_argument("--metadata-csv", default=None)
+    sp.add_argument("--output", default=None)
+    sp.set_defaults(fn=cmd_greyscale)
 
     sp = sub.add_parser("finetune")
     sp.add_argument("--dataset", required=True)
@@ -278,6 +576,34 @@ def main(argv=None):
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_visualize)
 
+    sp = sub.add_parser("parity")
+    sp.add_argument("--check", choices=["head", "demo"], default="head")
+    sp.add_argument("--dataset", default="konvid_1k")
+    sp.add_argument("--features-mat", default=None)
+    sp.add_argument("--metadata-csv", default=None)
+    sp.add_argument("--result-mat", default=None)
+    sp.add_argument("--expected-csv", default=None, help="log/predict_score/*.csv")
+    sp.add_argument("--greyscale-report", default=None)
+    sp.add_argument("--model", required=True, help="reference .pth")
+    sp.add_argument("--imputer", required=True)
+    sp.add_argument("--scaler", required=True)
+    sp.add_argument("--no-bn", action="store_true")
+    sp.add_argument("--video", default=None)
+    sp.add_argument("--video-type", default="konvid_1k")
+    sp.add_argument("--expected-mos", type=float, default=None)
+    add_backbone_flags(sp)
+    sp.set_defaults(fn=cmd_parity)
+
+    sp = sub.add_parser("metadata")
+    sp.add_argument("--video-dir", required=True)
+    sp.add_argument("--output", default="metadata.csv")
+    sp.add_argument("--video-type", default="generic",
+                    choices=["generic", "lsvq", "live_vqc", "cvd_2014", "live_qualcomm"])
+    sp.add_argument("--info-mat", default=None, help="CVD2014/LIVE-Qualcomm info .mat")
+    sp.add_argument("--csv", default=None, help="LSVQ/LIVE-VQC source csv")
+    sp.add_argument("--framerate", type=float, default=None, help=".yuv framerate hint")
+    sp.set_defaults(fn=cmd_metadata)
+
     sp = sub.add_parser("train-cross")
     sp.add_argument("--train-dataset", default="youtube_ugc")
     sp.add_argument("--test-dataset", default="cvd_2014")
@@ -290,6 +616,19 @@ def main(argv=None):
     sp.add_argument("--no-bn", action="store_true")
     sp.set_defaults(fn=cmd_train_cross)
 
+    return p, subparser_map
+
+
+def main(argv=None):
+    import sys as _sys
+
+    logging.basicConfig(level=logging.INFO)
+    argv = argv if argv is not None else _sys.argv[1:]
+    p, subparser_map = build_parser()
+    cache_dir = _apply_config(argv, subparser_map)
+    from relaxtpu.utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache(cache_dir)
     args = p.parse_args(argv)
     return args.fn(args)
 

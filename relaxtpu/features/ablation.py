@@ -62,6 +62,12 @@ class AblationExtractor:
 
     def _features(self, mode: str, network: str, layer: str, resnet_vars, vit_vars, prev, nxt):
         imgs = jax.vmap(lambda p, n: self._pair_images(mode, p, n))(prev, nxt)
+        return self._features_from_images(network, layer, resnet_vars, vit_vars, imgs)
+
+    def _features_from_images(self, network: str, layer: str, resnet_vars, vit_vars, imgs):
+        """(B,H,W,3) uint8 BGR images -> (B, D) single-network features.
+        Shared by residual-variant pairs and full-frame single-tap extraction
+        (ref main_layer.py:81-113)."""
         rgb = _bgr_u8_to_rgb01(imgs, jnp.float32)
         if rgb.shape[1:3] != (224, 224):
             b = rgb.shape[0]

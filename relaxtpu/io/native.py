@@ -42,12 +42,28 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.relax_open.restype = ctypes.c_void_p
     lib.relax_open.argtypes = [ctypes.c_char_p]
+    lib.relax_open_raw.restype = ctypes.c_void_p
+    lib.relax_open_raw.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_char_p,
+        ctypes.c_double,
+    ]
     lib.relax_info.restype = ctypes.c_int
     lib.relax_info.argtypes = [
         ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.relax_info_ex.restype = ctypes.c_int
+    lib.relax_info_ex.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.relax_decode_selected.restype = ctypes.c_int64
@@ -68,12 +84,24 @@ def available() -> bool:
 
 
 class NativeDecoder:
-    def __init__(self, path: str):
+    def __init__(self, path: str, raw: dict | None = None):
+        """``raw`` opens a headerless .yuv stream and must carry width/height
+        (+optional pixfmt/framerate) — LIVE-Qualcomm style (reference passes
+        -s/-pix_fmt/-framerate, ``video_frames_extract.py:29-49``)."""
         lib = _load()
         if lib is None:
             raise RuntimeError("native decoder library unavailable (run native/build.sh)")
         self._lib = lib
-        self._h = lib.relax_open(path.encode())
+        if raw is not None:
+            self._h = lib.relax_open_raw(
+                path.encode(),
+                int(raw["width"]),
+                int(raw["height"]),
+                str(raw.get("pixfmt", "yuv420p")).encode(),
+                float(raw.get("framerate") or 30.0),
+            )
+        else:
+            self._h = lib.relax_open(path.encode())
         if not self._h:
             raise FileNotFoundError(f"cannot open video: {path}")
         w = ctypes.c_int()
@@ -85,6 +113,13 @@ class NativeDecoder:
         self.height = h.value
         self.framerate = fps.value
         self.nb_frames = int(nf.value)
+        pixfmt = ctypes.create_string_buffer(64)
+        depth = ctypes.c_int()
+        rate = ctypes.c_int64()
+        lib.relax_info_ex(self._h, pixfmt, 64, ctypes.byref(depth), ctypes.byref(rate))
+        self.pixfmt = pixfmt.value.decode() or None
+        self.bitdepth = depth.value or None
+        self.bitrate = int(rate.value) or None
 
     def decode_selected(self, indices) -> np.ndarray:
         """Decode the (sorted) frame indices -> (n, H, W, 3) uint8 BGR."""

@@ -54,6 +54,25 @@ def _yuv420_frame_count(path: str, width: int, height: int) -> int:
 
 
 def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) -> list[np.ndarray]:
+    """Raw .yuv (I420) frames at the given indices, BGR uint8.
+
+    Native libav rawvideo demuxer when built (GIL-released, same code path as
+    containerized video); numpy+cv2 seek/read fallback otherwise."""
+    from relaxtpu.io import native
+
+    if native.available():
+        try:
+            with native.NativeDecoder(
+                path, raw={"width": width, "height": height, "pixfmt": "yuv420p"}
+            ) as dec:
+                frames = list(dec.decode_selected(indices))
+                if len(frames) == len(indices):
+                    return frames
+        except FileNotFoundError:
+            raise
+        except Exception:
+            pass
+
     import cv2
 
     frame_bytes = width * height * 3 // 2
@@ -107,8 +126,10 @@ def _read_video_frames(path: str, indices: list[int]) -> list[np.ndarray]:
 
 
 def probe_video(path: str) -> dict:
-    """width/height/framerate/nb_frames (ffprobe replacement,
-    ref ``extract_metadata_NR.py:28-51``); native decoder first, cv2 fallback."""
+    """width/height/framerate/nb_frames/pixfmt/bitdepth/bitrate (ffprobe
+    replacement, ref ``extract_metadata_NR.py:28-51``); native decoder first
+    (full codecpar metadata), cv2 fallback (bitrate estimated from file size,
+    8-bit yuv420p assumed — cv2 can't see codec parameters)."""
     from relaxtpu.io import native
 
     if native.available():
@@ -120,6 +141,9 @@ def probe_video(path: str) -> dict:
                         "height": dec.height,
                         "framerate": dec.framerate,
                         "nb_frames": dec.nb_frames,
+                        "pixfmt": dec.pixfmt or "yuv420p",
+                        "bitdepth": dec.bitdepth or 8,
+                        "bitrate": dec.bitrate,
                     }
         except FileNotFoundError:
             raise
@@ -131,11 +155,18 @@ def probe_video(path: str) -> dict:
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video: {path}")
+    fps = float(cap.get(cv2.CAP_PROP_FPS))
+    nb = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
     info = {
         "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
         "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-        "framerate": float(cap.get(cv2.CAP_PROP_FPS)),
-        "nb_frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        "framerate": fps,
+        "nb_frames": nb,
+        "pixfmt": "yuv420p",
+        "bitdepth": 8,
+        "bitrate": (
+            int(os.path.getsize(path) * 8 * fps / nb) if nb > 0 and fps > 0 else None
+        ),
     }
     cap.release()
     return info

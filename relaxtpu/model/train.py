@@ -120,7 +120,6 @@ class MlpTrainer:
         self.tx = _make_tx(cfg)
         self._step = jax.jit(self._train_step)
         self._eval = jax.jit(self._eval_batch)
-        self._bn_stats = jax.jit(self._batch_bn_stats)
 
     # ----------------------------------------------------------- jitted fns
     def _train_step(self, params, batch_stats, opt_state, x, y, key):
@@ -146,16 +145,6 @@ class MlpTrainer:
         ).reshape(-1)
         loss = mae_and_rank_loss(out, y, self.cfg.l1_w, self.cfg.rank_w)
         return out, loss
-
-    def _batch_bn_stats(self, params, batch_stats, x):
-        """Pre-BN activations' mean/unbiased-var for update_bn."""
-        h = self.model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            x,
-            train=False,
-            method=lambda m, xx, train: m.fc1_out(xx),
-        ) if False else None
-        raise NotImplementedError
 
     # ------------------------------------------------------------- utilities
     def init_variables(self, key) -> dict:

@@ -43,17 +43,48 @@ class ShardedVideoEvaluator:
 
     def video_feature(self, frames: np.ndarray, prev: np.ndarray, nxt: np.ndarray) -> np.ndarray:
         f_dev, f_real = self._pad_shard(frames)
-        p_dev, p_real = self._pad_shard(prev)
-        n_dev, _ = self._pad_shard(nxt)
         stack, vit_stats = self.fx._frame_fn(f_dev)
-        frag_rn, frag_vit = self.fx._pair_fn(p_dev, n_dev)
         stack = np.asarray(stack)[:f_real]
         vit_stats = np.asarray(vit_stats)[:f_real]
-        frag_rn = np.asarray(frag_rn)[:p_real]
-        frag_vit = np.asarray(frag_vit)[:p_real]
+        # Pair batches are chunked to the per-device HBM budget of the flow
+        # warp (pipeline.max_pair_batch), scaled by the data-axis width —
+        # 1080p/4K videos would otherwise OOM through this path while the
+        # single-chip path survives.
+        prev = np.asarray(prev)
+        nxt = np.asarray(nxt)
+        bmax = self.fx.max_pair_batch(prev.shape[1], prev.shape[2]) * self.mesh.shape["data"]
+        frs, fvs = [], []
+        for i in range(0, len(prev), bmax):
+            p_dev, p_real = self._pad_shard(prev[i : i + bmax])
+            n_dev, _ = self._pad_shard(nxt[i : i + bmax])
+            frag_rn, frag_vit = self.fx._pair_fn(p_dev, n_dev)
+            frs.append(np.asarray(frag_rn)[:p_real])
+            fvs.append(np.asarray(frag_vit)[:p_real])
+        frag_rn = np.concatenate(frs)
+        frag_vit = np.concatenate(fvs)
         return np.concatenate(
             [stack.mean(0), vit_stats.mean(0), frag_rn.mean(0), frag_vit.mean(0)]
         )
+
+    def run_distributed(
+        self,
+        videos: list,
+        decode_fn: Callable[[object], tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ) -> np.ndarray:
+        """Multi-host dataset eval: videos shard over processes (DCN — zero
+        cross-host traffic during extraction), each host runs its subset on
+        its local mesh, and the tiny (n_videos, 35203) matrix is allgathered
+        once at the end.  Single-process runs degrade to ``run``."""
+        from relaxtpu.parallel.distributed import allgather_video_features, shard_videos
+
+        import jax
+
+        pid, n = jax.process_index(), jax.process_count()
+        mine = shard_videos(list(enumerate(videos)), pid, n)
+        local = self.run([v for _, v in mine], decode_fn)
+        idx = np.asarray([i for i, _ in mine], int)
+        vecs = np.stack(local) if local else np.zeros((0, 35203), np.float32)
+        return allgather_video_features(idx, vecs, n_videos=len(videos))
 
     def run(
         self,

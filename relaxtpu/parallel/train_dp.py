@@ -61,9 +61,22 @@ class DistributedMlpTrainStep:
                 return NamedSharding(self.mesh, spec)
         return NamedSharding(self.mesh, P())
 
+    def _global_put(self, x, sharding):
+        """Host value -> (possibly multi-host) global array.
+
+        In a multi-process run, plain device_put can't target non-addressable
+        devices; each process materializes its addressable shards from the
+        same full host value instead."""
+        import numpy as np
+
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+        return jax.device_put(x, sharding)
+
     def shard_params(self, params):
         return jax.tree_util.tree_map_with_path(
-            lambda path, x: jax.device_put(x, self._sharding_for_path(path)), params
+            lambda path, x: self._global_put(x, self._sharding_for_path(path)), params
         )
 
     def init(self, key):
@@ -90,6 +103,15 @@ class DistributedMlpTrainStep:
         return params, opt_state, loss
 
     def step(self, params, opt_state, x, y, key):
-        x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
-        y = jax.device_put(y, NamedSharding(self.mesh, P("data")))
+        """x/y are this PROCESS's local batch chunk: on a multi-host mesh the
+        global batch is the concatenation of every host's chunk along 'data'
+        (DCN-sharded feeding — each host loads only its own videos)."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.host_local_array_to_global_array(x, self.mesh, P("data"))
+            y = multihost_utils.host_local_array_to_global_array(y, self.mesh, P("data"))
+        else:
+            x = jax.device_put(x, NamedSharding(self.mesh, P("data")))
+            y = jax.device_put(y, NamedSharding(self.mesh, P("data")))
         return self._step(params, opt_state, x, y, key)

@@ -1,0 +1,176 @@
+"""Strict-parity readiness: one command that diffs this framework against the
+reference's shipped artifacts the moment the blobs are available.
+
+Two independent checks (this environment carries neither datasets nor
+weights, so both are gated on the artifact files existing):
+
+- ``head_parity``: given the reference's per-dataset features ``.mat``,
+  metadata csv, results ``.mat`` (median split), median-model ``.pth`` and
+  fitted imputer/scaler ``.pkl``s, recompute the median model's test-set
+  predictions with the ported MLP and diff them against the shipped
+  ``log/predict_score/{dataset}_relaxvqa_byrmse.csv`` (columns
+  MOS, y_test_pred, y_test_pred_logistic).  Exercises L4->L6 exactly.
+
+- ``demo_parity``: given a video + ``.pth`` + ``.pkl``s (+ torchvision
+  ResNet-50 / DINO ViT-B weights), run the FULL f32 pipeline end-to-end and
+  report the predicted MOS (optionally diffed against an expected value) —
+  exercises L0->L6.
+
+Documented tolerance: |Δ y_test_pred| <= 0.05 on the 0-100 scale for the
+head path (f32 MXU matmul vs torch CPU/GPU; the MLP is 3 layers).  The
+end-to-end demo tolerance is 0.1 MOS (decode + resize + flow accumulation
+differences; see docs/PARITY.md for the per-op accepted divergences).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+
+import numpy as np
+
+log = logging.getLogger("relaxtpu.parity")
+
+HEAD_TOL = 0.05   # |Δ prediction| on the reference's own test split
+DEMO_TOL = 0.1    # |Δ MOS| end-to-end
+
+
+@dataclasses.dataclass
+class ParityReport:
+    n: int
+    max_abs_diff: float
+    mean_abs_diff: float
+    tolerance: float
+
+    @property
+    def ok(self) -> bool:
+        return self.max_abs_diff <= self.tolerance
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "n": self.n,
+                "max_abs_diff": self.max_abs_diff,
+                "mean_abs_diff": self.mean_abs_diff,
+                "tolerance": self.tolerance,
+                "ok": self.ok,
+            }
+        )
+
+
+def _median_test_vids(result_mat: str) -> list[str]:
+    """Test-vid list of the median model from a results .mat
+    (ref ``recover_median_train_test.py:5-22``)."""
+    import scipy.io
+
+    data = scipy.io.loadmat(result_mat)
+    raw = data["Test_videos_Median_model"]
+    vids = []
+    for i in range(len(raw)):
+        v = raw[i]
+        v = v.item() if hasattr(v, "item") and np.asarray(v).ndim == 0 else v
+        if isinstance(v, (bytes, str)):
+            vids.append(str(v).strip())
+        else:
+            a = np.asarray(v).ravel()
+            vids.extend(str(x).strip() if isinstance(x, str) else str(x) for x in a.tolist())
+    return vids
+
+
+def head_parity(
+    dataset: str,
+    features_mat: str,
+    metadata_csv: str,
+    result_mat: str,
+    model_pth: str,
+    imputer_pkl: str,
+    scaler_pkl: str,
+    expected_csv: str,
+    greyscale_report: str | None = None,
+    use_bn: bool = True,
+) -> ParityReport:
+    """Recompute the median model's test predictions; diff vs the shipped CSV."""
+    import pandas as pd
+
+    from relaxtpu.data.greyscale import load_grey_indices
+    from relaxtpu.data.recover import recover_median_split
+    from relaxtpu.data.store import load_mat_features
+    from relaxtpu.model.mlp import Mlp, port_torch_mlp
+    from relaxtpu.model.scalers import FeatureScaler
+    from relaxtpu.models.porters import load_torch_checkpoint
+
+    df = pd.read_csv(metadata_csv)
+    features = load_mat_features(features_mat, dataset)
+    if greyscale_report:
+        grey = load_grey_indices(greyscale_report)
+        if grey:
+            df = df.drop(index=grey).reset_index(drop=True)
+            features = np.delete(features, grey, axis=0)
+    test_vids = _median_test_vids(result_mat)
+    _, _, x_test, _ = recover_median_split(df, features, test_vids)
+
+    scaler = FeatureScaler.load_reference_pkls(imputer_pkl, scaler_pkl)
+    x = scaler.transform(x_test).astype(np.float32)
+
+    import jax
+    import jax.numpy as jnp
+
+    variables = port_torch_mlp(load_torch_checkpoint(model_pth))
+    mlp = Mlp(use_bn=use_bn)
+    with jax.default_matmul_precision("highest"):
+        y_pred = np.asarray(
+            mlp.apply(variables, jnp.asarray(x), train=False)
+        ).reshape(-1)
+
+    expected = pd.read_csv(expected_csv)["y_test_pred"].to_numpy(float)
+    if len(expected) != len(y_pred):
+        raise ValueError(
+            f"row-count mismatch: recovered split has {len(y_pred)} test videos, "
+            f"expected csv has {len(expected)} — check metadata/greyscale inputs"
+        )
+    diff = np.abs(y_pred - expected)
+    return ParityReport(len(diff), float(diff.max()), float(diff.mean()), HEAD_TOL)
+
+
+def demo_parity(
+    video: str,
+    video_type: str,
+    model_pth: str,
+    imputer_pkl: str,
+    scaler_pkl: str,
+    resnet_weights: str,
+    vit_weights: str,
+    expected_mos: float | None = None,
+) -> dict:
+    """Full f32 end-to-end prediction (ref demo_test.py); optional MOS diff."""
+    import jax.numpy as jnp
+
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.model.mlp import port_torch_mlp
+    from relaxtpu.model.scalers import FeatureScaler
+    from relaxtpu.models.porters import (
+        load_torch_checkpoint,
+        port_torch_resnet50,
+        port_torch_vit,
+    )
+    from relaxtpu.predict import VideoQualityPredictor
+
+    fx = FeatureExtractor(
+        port_torch_resnet50(load_torch_checkpoint(resnet_weights)),
+        port_torch_vit(load_torch_checkpoint(vit_weights)),
+        dtype=jnp.float32,
+    )
+    predictor = VideoQualityPredictor(
+        fx,
+        port_torch_mlp(load_torch_checkpoint(model_pth)),
+        FeatureScaler.load_reference_pkls(imputer_pkl, scaler_pkl),
+        video_type=video_type,
+    )
+    mos = predictor.predict_file(video)
+    out = {"video": video, "predicted_mos": mos, "tolerance": DEMO_TOL}
+    if expected_mos is not None:
+        out["expected_mos"] = expected_mos
+        out["abs_diff"] = abs(mos - expected_mos)
+        out["ok"] = out["abs_diff"] <= DEMO_TOL
+    return out

@@ -1,4 +1,4 @@
-"""Model snapshot checkpointing (orbax when available, npz fallback).
+"""Model snapshot checkpointing (flat-npz pytree serialization).
 
 Replaces ``torch.save(state_dict)`` (ref ``model_regression.py:714-716``);
 feature ``.npy`` files remain the pipeline-level resume points

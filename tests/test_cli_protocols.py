@@ -1,0 +1,143 @@
+"""CLI protocol wiring: --config consumption, greyscale report + drop,
+LSVQ fixed-split command, metadata command (ref split_train_test.py,
+check_greyscale.py, extract_metadata_NR.py, model_regression_simple.py)."""
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _toy_features(rng, n, d=64):
+    y = rng.uniform(1, 5, n)
+    x = np.outer(y, rng.normal(size=d)) + rng.normal(0, 0.1, (n, d))
+    return x.astype(np.float32), y
+
+
+def test_train_lsvq_command(tmp_path, rng, capsys):
+    from relaxtpu.cli.__main__ import main
+
+    x_tr, y_tr = _toy_features(rng, 48)
+    x_te, y_te = _toy_features(rng, 16)
+    tr_csv, te_csv = str(tmp_path / "tr.csv"), str(tmp_path / "te.csv")
+    pd.DataFrame({"vid": [f"v{i}" for i in range(48)], "mos": y_tr}).to_csv(tr_csv, index=False)
+    pd.DataFrame({"vid": [f"t{i}" for i in range(16)], "mos": y_te}).to_csv(te_csv, index=False)
+    # chunked .mat train features (the reference ships LSVQ-train in 3 chunks)
+    import scipy.io
+
+    chunks = []
+    for k, sl in enumerate((slice(0, 20), slice(20, 40), slice(40, 48))):
+        p = str(tmp_path / f"chunk{k}.mat")
+        scipy.io.savemat(p, {"lsvq_train": x_tr[sl]})
+        chunks.append(p)
+    te_npy = str(tmp_path / "te.npy")
+    np.save(te_npy, x_te)
+
+    out = str(tmp_path / "lsvq.npz")
+    main([
+        "train-lsvq", "--train-metadata", tr_csv, "--test-metadata", te_csv,
+        "--train-features", *chunks, "--test-features", te_npy,
+        "--output", out, "--epochs", "3", "--batch-size", "16",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.exists(out)
+    assert np.isfinite(res["srcc"]) and res["srcc"] > 0  # learnable toy data
+
+
+def test_greyscale_report_and_train_drop(tmp_path, rng, capsys):
+    cv2 = pytest.importorskip("cv2")
+    from relaxtpu.cli.__main__ import main
+
+    # toy youtube_ugc layout: one greyscale video among three
+    root = tmp_path / "ugc"
+    vdir = root / "youtube_ugc_videos"
+    vdir.mkdir(parents=True)
+    vids = []
+    for i, grey in enumerate([False, True, False]):
+        vid = f"ugc{i}"
+        path = str(vdir / f"{vid}.mkv")
+        vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (64, 48))
+        for _ in range(8):
+            if grey:
+                f = np.repeat(rng.integers(0, 256, (48, 64, 1), dtype=np.uint8), 3, axis=2)
+            else:
+                f = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+            vw.write(f)
+        vw.release()
+        vids.append(vid)
+    meta = pd.DataFrame({"vid": vids, "mos": [3.0, 2.0, 4.0], "framerate": 24.0})
+    meta_csv = str(tmp_path / "meta.csv")
+    meta.to_csv(meta_csv, index=False)
+
+    report_csv = str(tmp_path / "grey.csv")
+    main([
+        "greyscale", "--dataset", "youtube_ugc", "--root", str(root),
+        "--metadata-csv", meta_csv, "--output", report_csv,
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # mp4v is lossy: chroma noise can stay within the <=3 tolerance or not;
+    # the written greyscale video MUST be flagged, color ones must not
+    report = pd.read_csv(report_csv)
+    assert list(report["vid"]) == ["ugc1"]
+    assert list(report["Index"]) == [1]
+
+    from relaxtpu.data.greyscale import load_grey_indices
+
+    assert load_grey_indices(report_csv) == [1]
+    assert load_grey_indices(str(tmp_path / "missing.csv")) == []
+
+
+def test_config_defaults_feed_cli(tmp_path):
+    """--config values become argparse defaults; explicit flags still win."""
+    from relaxtpu.cli import __main__ as cli
+    from relaxtpu.config import RunConfig
+
+    cfg = RunConfig()
+    cfg.extract.dataset = "live_vqc"
+    cfg.extract.output_dir = str(tmp_path / "feats")
+    cfg.runtime.decode_workers = 7
+    cfg.train.n_repeats = 3
+    cfg.train.use_bn = False
+    cfg_path = str(tmp_path / "run.json")
+    cfg.save(cfg_path)
+
+    p, submap = cli.build_parser()
+    argv = ["--config", cfg_path, "extract", "--decode-workers", "2"]
+    cli._apply_config(argv, submap)
+    args = p.parse_args(argv)
+    assert args.dataset == "live_vqc"        # from config
+    assert args.output == str(tmp_path / "feats")
+    assert args.decode_workers == 2          # explicit flag wins
+
+    p2, submap2 = cli.build_parser()
+    argv_t = [
+        "--config", cfg_path, "train",
+        "--metadata-csv", "m.csv", "--features", "f.npy",
+    ]
+    cli._apply_config(argv_t, submap2)
+    args_t = p2.parse_args(argv_t)
+    assert args_t.n_repeats == 3 and args_t.no_bn is True
+
+
+def test_metadata_command(tmp_path, rng, capsys):
+    cv2 = pytest.importorskip("cv2")
+    from relaxtpu.cli.__main__ import main
+
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    vw = cv2.VideoWriter(str(vdir / "a.mp4"), cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48))
+    for _ in range(12):
+        vw.write(rng.integers(0, 256, (48, 64, 3), dtype=np.uint8))
+    vw.release()
+    out = str(tmp_path / "meta.csv")
+    main(["metadata", "--video-dir", str(vdir), "--output", out])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_videos"] == 1
+    df = pd.read_csv(out)
+    row = df.iloc[0]
+    assert row["vid"] == "a"
+    assert row["width"] == 64 and row["height"] == 48
+    assert row["nb_frames"] == 12
+    assert row["pixfmt"] == "yuv420p"
+    assert row["bitdepth"] == 8

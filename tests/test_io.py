@@ -82,6 +82,65 @@ def test_decode_sampled_frames_and_pairs(clip):
     assert not np.array_equal(prev[0], nxt[0])
 
 
+def test_probe_video_metadata_fields(clip):
+    from relaxtpu.io.video import probe_video
+
+    info = probe_video(clip)
+    assert info["width"] == 128 and info["height"] == 96
+    assert abs(info["framerate"] - 24.0) < 0.01
+    assert info["nb_frames"] == 48
+    assert info["pixfmt"] == "yuv420p"
+    assert info["bitdepth"] == 8
+    assert info["bitrate"] is None or info["bitrate"] > 0
+
+
+def test_yuv_native_matches_numpy_reader(tmp_path, rng):
+    """Raw .yuv route: native rawvideo demuxer vs the numpy+cv2 reader."""
+    cv2 = pytest.importorskip("cv2")
+    from relaxtpu.io import native
+    from relaxtpu.io.video import _read_yuv420_frames
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    w, h, n = 64, 48, 6
+    raw = rng.integers(0, 256, (n, h * 3 // 2, w), dtype=np.uint8)
+    path = str(tmp_path / "clip.yuv")
+    raw.tofile(path)
+    with native.NativeDecoder(path, raw={"width": w, "height": h}) as dec:
+        assert dec.width == w and dec.height == h
+        got = dec.decode_selected([0, 2, 4])
+    want = np.stack(
+        [cv2.cvtColor(raw[i], cv2.COLOR_YUV2BGR_I420) for i in (0, 2, 4)]
+    )
+    assert got.shape == want.shape
+    # sws_scale and cv2 round yuv->bgr slightly differently
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
+
+
+def test_metadata_from_info_mat(tmp_path, rng):
+    """CVD2014/LIVE-Qualcomm info-mat flow (ref extract_metadata_NR.py:111-155)."""
+    import scipy.io
+
+    from relaxtpu.io.metadata import metadata_from_info_mat
+
+    # LIVE-Qualcomm style: raw yuv videos named in the mat
+    w, h = 1920, 1080
+    names = np.empty((2, 1), dtype=object)
+    names[0, 0] = np.array(["vid_a.yuv"])
+    names[1, 0] = np.array(["vid_b.yuv"])
+    scores = np.array([[55.5], [72.25]])
+    mat = str(tmp_path / "info.mat")
+    scipy.io.savemat(mat, {"video_names": names, "scores": scores})
+    for base in ("vid_a", "vid_b"):
+        np.zeros((3, h * 3 // 2, w), np.uint8).tofile(str(tmp_path / f"{base}.yuv"))
+    df = metadata_from_info_mat(mat, str(tmp_path), "live_qualcomm", framerate_hint=30.0)
+    assert list(df["vid"]) == ["vid_a", "vid_b"]
+    assert list(df["mos"]) == [55.5, 72.25]
+    assert (df["width"] == 1920).all() and (df["height"] == 1080).all()
+    assert (df["nb_frames"] == 3).all()
+    assert (df["pixfmt"] == "yuv420p").all()
+
+
 def test_greyscale_detector(rng):
     grey = np.repeat(rng.integers(0, 256, (20, 20, 1), dtype=np.uint8), 3, axis=2)
     color = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)

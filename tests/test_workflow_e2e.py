@@ -54,6 +54,26 @@ def test_extract_train_predict_workflow(tmp_path, rng, capsys):
     assert feats.shape == (4, 35203)
     assert np.isfinite(feats).all()
 
+    # CLI extract must equal FeatureExtractor.video_feature for the same
+    # video: full-frame segments meaned over n_frames, fragment segments over
+    # n_pairs (ref demo_test.py:171-175) — NOT a shared truncated count.
+    import jax
+    import jax.numpy as jnp
+
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.io.video import decode_video_inputs
+    from relaxtpu.models import ResNet50, ViT
+    from relaxtpu.models.initutil import fast_init
+
+    rn_vars = fast_init(ResNet50(), jnp.zeros((1, 224, 224, 3)))
+    vit_vars = fast_init(ViT(), jnp.zeros((1, 224, 224, 3)), key=jax.random.PRNGKey(1))
+    fx = FeatureExtractor(rn_vars, vit_vars)
+    frames, prev, nxt = decode_video_inputs(
+        str(data_root / "KoNViD_1k_videos" / "1000.mp4"), 24.0, 128, 96
+    )
+    direct = fx.video_feature(frames, prev, nxt)
+    np.testing.assert_allclose(feats[0], direct, rtol=1e-5, atol=1e-5)
+
     # --- train (tiny protocol)
     model_path = str(tmp_path / "mlp.npz")
     main([
