@@ -441,14 +441,23 @@ def _apply_config(argv, subparsers) -> str | None:
 
     cfg = RunConfig.load(known.config)
     ex, tr, rt = cfg.extract, cfg.train, cfg.runtime
-    subparsers["extract"].set_defaults(
+
+    def set_defaults(sp, **values):
+        sp.set_defaults(**values)
+        for a in sp._actions:  # a config-supplied value satisfies a required flag
+            if a.required and a.dest in values and values[a.dest] is not None:
+                a.required = False
+
+    set_defaults(
+        subparsers["extract"],
         dataset=ex.dataset, root=ex.data_root, metadata_dir=ex.metadata_dir,
         output=ex.output_dir, resnet_weights=ex.resnet_weights,
         vit_weights=ex.vit_weights, bf16=(ex.backbone_dtype == "bfloat16"),
         decode_workers=rt.decode_workers, dispatch_ahead=rt.dispatch_ahead,
         profile_dir=rt.profile_dir,
     )
-    subparsers["train"].set_defaults(
+    set_defaults(
+        subparsers["train"],
         dataset=ex.dataset, metadata_dir=ex.metadata_dir,
         n_repeats=tr.n_repeats, n_splits=tr.n_splits, batch_size=tr.batch_size,
         epochs=tr.epochs, lr=tr.initial_lr, weight_decay=tr.weight_decay,

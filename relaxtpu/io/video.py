@@ -84,8 +84,28 @@ def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) 
             if raw.size < frame_bytes:
                 break
             yuv = raw.reshape(height * 3 // 2, width)
-            out.append(cv2.cvtColor(yuv, cv2.COLOR_YUV2BGR_I420))
+            out.append(_yuv420_to_bgr_limited(yuv, width, height))
     return out
+
+
+def _yuv420_to_bgr_limited(yuv: np.ndarray, width: int, height: int) -> np.ndarray:
+    """BT.601 LIMITED-range I420 -> BGR uint8, matching ffmpeg/sws_scale
+    defaults — the reference decodes LIVE-Qualcomm .yuv via the ffmpeg CLI
+    (``extract_metadata_NR.py`` / ``video_frames_extract``), and cv2's
+    COLOR_YUV2BGR_I420 applies a different luma transfer (up to ~20/255 off
+    at dark pixels).  Chroma is upsampled bilinearly like sws."""
+    import cv2
+
+    y = yuv[:height].astype(np.float32)
+    u = yuv[height : height + height // 4].reshape(height // 2, width // 2)
+    v = yuv[height + height // 4 :].reshape(height // 2, width // 2)
+    u = cv2.resize(u, (width, height), interpolation=cv2.INTER_LINEAR).astype(np.float32) - 128.0
+    v = cv2.resize(v, (width, height), interpolation=cv2.INTER_LINEAR).astype(np.float32) - 128.0
+    yl = 1.164383 * (y - 16.0)
+    b = yl + 2.017232 * u
+    g = yl - 0.812968 * v - 0.391762 * u
+    r = yl + 1.596027 * v
+    return np.clip(np.rint(np.stack([b, g, r], axis=-1)), 0, 255).astype(np.uint8)
 
 
 def _read_video_frames(path: str, indices: list[int]) -> list[np.ndarray]:

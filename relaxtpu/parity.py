@@ -64,18 +64,25 @@ def _median_test_vids(result_mat: str) -> list[str]:
     (ref ``recover_median_train_test.py:5-22``)."""
     import scipy.io
 
-    data = scipy.io.loadmat(result_mat)
+    data = scipy.io.loadmat(result_mat, squeeze_me=True)
     raw = data["Test_videos_Median_model"]
-    vids = []
-    for i in range(len(raw)):
-        v = raw[i]
-        v = v.item() if hasattr(v, "item") and np.asarray(v).ndim == 0 else v
-        if isinstance(v, (bytes, str)):
-            vids.append(str(v).strip())
+
+    def flat(v):
+        """Recursively flatten MATLAB cell nesting (object arrays of arrays of
+        strings); normalize integral floats so '3000.0' matches '3000'."""
+        if isinstance(v, bytes):
+            yield v.decode().strip()
+        elif isinstance(v, str):
+            yield v.strip()
+        elif isinstance(v, (int, np.integer)):
+            yield str(int(v))
+        elif isinstance(v, (float, np.floating)):
+            yield str(int(v)) if float(v).is_integer() else str(v)
         else:
-            a = np.asarray(v).ravel()
-            vids.extend(str(x).strip() if isinstance(x, str) else str(x) for x in a.tolist())
-    return vids
+            for x in np.asarray(v).ravel():
+                yield from flat(x)
+
+    return list(flat(raw))
 
 
 def head_parity(

