@@ -146,6 +146,19 @@ class FeatureExtractor:
             ]
         )
 
+    def _video_vec_yuv(self, resnet_vars, vit_vars, fy, fu, fv, ny, nu, nv, n_frames, n_pairs):
+        """YUV-ingest variant: I420 planes -> BGR on device (bit-matches the
+        host converter, see ops.colorspace.yuv420_to_bgr), then the standard
+        program.  Halves host->device transfer; the pairs' first frames ARE
+        the sampled frames (reference sampling scheme), so only two plane
+        sets travel."""
+        from relaxtpu.ops.colorspace import yuv420_to_bgr
+
+        frames = yuv420_to_bgr(fy, fu, fv)
+        nxt = yuv420_to_bgr(ny, nu, nv)
+        prev = frames[: nxt.shape[0]]
+        return self._video_vec(resnet_vars, vit_vars, frames, prev, nxt, n_frames, n_pairs)
+
     # ------------------------------------------------------------ public API
     def _frame_fn(self, frames):
         return self._frame_fn_v(self.resnet_vars, self.vit_vars, frames)
@@ -182,23 +195,87 @@ class FeatureExtractor:
         frames, n_frames = pad(frames_bgr_u8)
         prev, n_pairs = pad(prev_bgr_u8)
         nxt, _ = pad(next_bgr_u8)
+        frames_dev = jnp.asarray(frames)
+        # In the reference sampling scheme the pair's first frame IS the
+        # sampled frame (vf_extract.py: select not(mod(n,i)) vs not(mod(n-1,i))),
+        # so decode_video_inputs returns prev as a prefix VIEW of frames —
+        # skip its upload and slice the device copy instead (host->device
+        # transfer is a first-class pipeline cost; rows past n_pairs are
+        # masked in the program, so their padding content is irrelevant).
+        p_np = np.asarray(prev_bgr_u8)
+        f_np = np.asarray(frames_bgr_u8)
+        is_prefix_view = (
+            (p_np is f_np)
+            or (
+                len(p_np) <= len(f_np)
+                and p_np.shape[1:] == f_np.shape[1:]
+                and np.shares_memory(p_np, f_np)
+                and p_np.__array_interface__["data"][0]
+                == f_np.__array_interface__["data"][0]
+            )
+        )
+        if is_prefix_view and len(prev) <= len(frames):
+            prev_dev = frames_dev[: len(prev)]
+        else:
+            prev_dev = jnp.asarray(prev)
         return self._video_fn_v(
             self.resnet_vars,
             self.vit_vars,
-            jnp.asarray(frames),
-            jnp.asarray(prev),
+            frames_dev,
+            prev_dev,
             jnp.asarray(nxt),
             jnp.asarray(n_frames, jnp.int32),
             jnp.asarray(n_pairs, jnp.int32),
         )
 
+    def video_feature_async_yuv(self, frames_yuv, next_yuv, bucket: int = 8):
+        """Enqueue the whole-video program from I420 planes (async).
+
+        ``frames_yuv``/``next_yuv``: (y, u, v) uint8 plane stacks — y is
+        (B, H, W), u/v are (B, H/2, W/2).  The pairs' first frames are the
+        sampled frames (reference sampling scheme), so exactly two plane sets
+        are uploaded: 1.5 bytes/px vs 3 for BGR ingest, and the colorspace
+        conversion (bit-identical to the host converter) fuses into the
+        device program.  Returns the (35203,) device vector without blocking.
+        """
+        fy, fu, fv = (np.asarray(p) for p in frames_yuv)
+        ny, nu, nv = (np.asarray(p) for p in next_yuv)
+        h, w = fy.shape[1], fy.shape[2]
+        if len(ny) > self.max_pair_batch(h, w):
+            # high-res fallback: convert on host, run the chunked sync path
+            from relaxtpu.ops.colorspace import yuv420_to_bgr
+
+            frames = np.asarray(yuv420_to_bgr(jnp.asarray(fy), jnp.asarray(fu), jnp.asarray(fv)))
+            nxt = np.asarray(yuv420_to_bgr(jnp.asarray(ny), jnp.asarray(nu), jnp.asarray(nv)))
+            return jnp.asarray(self.video_feature(frames, frames[: len(nxt)], nxt))
+        if not hasattr(self, "_video_fn_yuv_v"):
+            self._video_fn_yuv_v = jax.jit(self._video_vec_yuv)
+
+        def pad(a, n_to):
+            p = (-len(a)) % n_to
+            if p:
+                a = np.concatenate([a, np.repeat(a[-1:], p, axis=0)], axis=0)
+            return a
+
+        n_frames, n_pairs = len(fy), len(ny)
+        args = [pad(a, bucket) for a in (fy, fu, fv, ny, nu, nv)]
+        return self._video_fn_yuv_v(
+            self.resnet_vars,
+            self.vit_vars,
+            *(jnp.asarray(a) for a in args),
+            jnp.asarray(n_frames, jnp.int32),
+            jnp.asarray(n_pairs, jnp.int32),
+        )
+
     def max_pair_batch(self, h: int, w: int) -> int:
-        """HBM budget for the flow warp: the lane-padded interleaved operand
-        costs H*W*128*4 bytes per pair, and one fused gather output peaks at
-        the same size; cap in-flight pairs at ~8.5 GB for the two (16 GB v5e
-        chip).  540p -> 16 (empirically validated), 1080p -> 4."""
-        per_pair = h * w * 128 * 4
-        return max(1, min(16, int(8.5e9 // (2 * per_pair))))
+        """HBM budget for the flow stage.  With the banded MXU warp
+        (``relaxtpu.ops.warp``) the per-pair peak is ~40 live f32 planes
+        (pyramid expansions, normal-equation planes, scan-windowed matmul
+        operands) — the 128-lane-padded gather operand of the old exact warp
+        is gone.  Cap in-flight pairs at ~8.5 GB (16 GB v5e chip):
+        540p/1080p -> 16 (1080p empirically validated on chip), 4K -> 6."""
+        per_pair = h * w * 4 * 40
+        return max(1, min(16, int(8.5e9 // per_pair)))
 
     def frame_features(self, frames_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
         stack, vit_stats = self._frame_fn(jnp.asarray(frames_bgr_u8))

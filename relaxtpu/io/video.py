@@ -88,19 +88,38 @@ def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) 
     return out
 
 
+def _chroma_upsample2x(c: np.ndarray) -> np.ndarray:
+    """Half-pixel-centre bilinear 2x upsample (float, edge-clamped).
+
+    out[2i] = 0.25*c[i-1] + 0.75*c[i]; out[2i+1] = 0.75*c[i] + 0.25*c[i+1]
+    per axis — the same closed form ``relaxtpu.ops.colorspace.yuv420_to_bgr``
+    computes on device, so host and device conversions bit-match."""
+    c = c.astype(np.float32)
+
+    def axis_up(a):  # upsample last axis
+        lo = np.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+        hi = np.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        even = 0.25 * lo + 0.75 * a
+        odd = 0.75 * a + 0.25 * hi
+        out = np.empty((*a.shape[:-1], a.shape[-1] * 2), np.float32)
+        out[..., 0::2] = even
+        out[..., 1::2] = odd
+        return out
+
+    return np.swapaxes(axis_up(np.swapaxes(axis_up(c), -1, -2)), -1, -2)
+
+
 def _yuv420_to_bgr_limited(yuv: np.ndarray, width: int, height: int) -> np.ndarray:
     """BT.601 LIMITED-range I420 -> BGR uint8, matching ffmpeg/sws_scale
     defaults — the reference decodes LIVE-Qualcomm .yuv via the ffmpeg CLI
     (``extract_metadata_NR.py`` / ``video_frames_extract``), and cv2's
     COLOR_YUV2BGR_I420 applies a different luma transfer (up to ~20/255 off
     at dark pixels).  Chroma is upsampled bilinearly like sws."""
-    import cv2
-
     y = yuv[:height].astype(np.float32)
     u = yuv[height : height + height // 4].reshape(height // 2, width // 2)
     v = yuv[height + height // 4 :].reshape(height // 2, width // 2)
-    u = cv2.resize(u, (width, height), interpolation=cv2.INTER_LINEAR).astype(np.float32) - 128.0
-    v = cv2.resize(v, (width, height), interpolation=cv2.INTER_LINEAR).astype(np.float32) - 128.0
+    u = _chroma_upsample2x(u) - 128.0
+    v = _chroma_upsample2x(v) - 128.0
     yl = 1.164383 * (y - 16.0)
     b = yl + 2.017232 * u
     g = yl - 0.812968 * v - 0.391762 * u
@@ -243,7 +262,14 @@ def decode_video_inputs(
     lookup = dict(zip(flat, decoded))
     frames = np.stack([lookup[i] for i in firsts if i in lookup])
     pairs = [(a, b) for a, b in pairs if a in lookup and b in lookup]
-    prev = np.stack([lookup[a] for a, _ in pairs])
+    # pair firsts are a prefix of the sampled indices, so prev is a prefix
+    # VIEW of frames — FeatureExtractor.video_feature_async detects this and
+    # uploads the stack once.
+    kept_firsts = [i for i in firsts if i in lookup]
+    if [a for a, _ in pairs] == kept_firsts[: len(pairs)]:
+        prev = frames[: len(pairs)]
+    else:
+        prev = np.stack([lookup[a] for a, _ in pairs])
     nxt = np.stack([lookup[b] for _, b in pairs])
     return frames, prev, nxt
 

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from relaxtpu.ops.warp import warp_planes_banded
+
 _MIN_SIZE = 32  # OpenCV's minimum pyramid level size
 _BORDER_W = (0.14, 0.14, 0.4472, 0.4472, 0.4472)  # edge confidence taper
 
@@ -44,26 +46,33 @@ def _sep_correlate(img: jax.Array, kx: np.ndarray, ky: np.ndarray, mode: str) ->
 
     mode: 'edge' (BORDER_REPLICATE) or 'reflect' (BORDER_REFLECT_101).
     Kernels are correlation kernels (not flipped).
+
+    Implemented as shifted multiply-adds (static slices of the padded array)
+    on the VPU.  A 1-channel ``conv_general_dilated`` would land on the MXU
+    with ~1/16000 utilization — these little correlations were a large share
+    of the whole flow's runtime in that form.  Accumulation is plain f32
+    (the moment sums are ~15 terms; validated <0.05px vs cv2 downstream).
     """
     ry = len(ky) // 2
     rx = len(kx) // 2
     pad_mode = "edge" if mode == "edge" else "reflect"
     x = jnp.pad(img, ((ry, ry), (rx, rx)), mode=pad_mode)
-    # horizontal then vertical 1-D correlations via conv_general_dilated
-    x = x[None, None, :, :]
-    # lax.conv_general_dilated is cross-correlation (DL convention): no flip.
-    # HIGHEST precision: the polynomial-expansion moments are
-    # cancellation-sensitive; these 1-D convs are a tiny fraction of the
-    # pipeline's FLOPs, so full-precision MXU passes are cheap.
-    kxa = jnp.asarray(kx, jnp.float32).reshape(1, 1, 1, -1)
-    x = jax.lax.conv_general_dilated(
-        x, kxa, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
-    )
-    kya = jnp.asarray(ky, jnp.float32).reshape(1, 1, -1, 1)
-    x = jax.lax.conv_general_dilated(
-        x, kya, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
-    )
-    return x[0, 0]
+    h, w = img.shape
+    if rx or len(kx) > 1:
+        x = sum(
+            float(kx[i]) * jax.lax.slice(x, (0, i), (x.shape[0], i + w))
+            for i in range(len(kx))
+        )
+    else:
+        x = float(kx[0]) * x
+    if ry or len(ky) > 1:
+        x = sum(
+            float(ky[j]) * jax.lax.slice(x, (j, 0), (j + h, w))
+            for j in range(len(ky))
+        )
+    else:
+        x = float(ky[0]) * x
+    return x
 
 
 def _gaussian_kernel(ksize: int, sigma: float) -> np.ndarray:
@@ -162,7 +171,40 @@ def _border_scale(h: int, w: int) -> jax.Array:
     return jnp.asarray(side(h)[:, None] * side(w)[None, :])
 
 
-def _update_matrices(r0: jax.Array, r1i: jax.Array, flow: jax.Array) -> jax.Array:
+def _warp_exact(r1: jax.Array, flow: jax.Array) -> jax.Array:
+    """Gather-based bilinear warp of planar (5, H, W) — exact but index-bound.
+
+    Interleaves to (H, W, 5) first: the TPU lane-pads 5 -> 128 and gathers
+    full 512B lane tiles per corner, measured 3.7x faster than flat
+    per-plane takes.  Kept as the strict-parity fallback for the banded MXU
+    warp (``relaxtpu.ops.warp``), which is ~6x faster again.
+    """
+    h, w = flow.shape[1:]
+    r1i = jnp.transpose(r1, (1, 2, 0))
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    fx = xs + flow[0]
+    fy = ys + flow[1]
+    x1 = jnp.floor(fx)
+    y1 = jnp.floor(fy)
+    tx = fx - x1
+    ty = fy - y1
+    xi = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
+    yi = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
+    a00 = ((1 - tx) * (1 - ty))[..., None]
+    a01 = (tx * (1 - ty))[..., None]
+    a10 = ((1 - tx) * ty)[..., None]
+    a11 = (tx * ty)[..., None]
+    r1w = (
+        a00 * r1i[yi, xi]
+        + a01 * r1i[yi, xi + 1]
+        + a10 * r1i[yi + 1, xi]
+        + a11 * r1i[yi + 1, xi + 1]
+    )
+    return jnp.transpose(r1w, (2, 0, 1))
+
+
+def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array, warp: str) -> jax.Array:
     """Per-pixel normal-equation planes M = (5, H, W) = [G11, G12, G22, h1, h2].
 
     Warps the next-frame expansion by the current flow (bilinear), averages
@@ -170,43 +212,31 @@ def _update_matrices(r0: jax.Array, r1i: jax.Array, flow: jax.Array) -> jax.Arra
     2x2 displacement solve.  Outside-image warps fall back to the prev-frame
     quadratic terms with zeroed linear difference (OpenCV behavior).
 
-    r0 is channel-planar (5, H, W); r1i is the next-frame expansion ALREADY
-    interleaved as (H, W, 5) (computed once per level — the TPU lane-pads it
-    5 -> 128 and gathers full 512B lane tiles per corner, measured 3.7x
-    faster than flat per-plane takes; scalar gathers are the slow path).
-    flow is planar (2, H, W).  Elementwise math stays planar (clean tiling).
+    r0/r1 are channel-planar (5, H, W); flow is planar (2, H, W).  ``warp``
+    selects the bilinear warp implementation: 'banded' = one-hot MXU matmul
+    (``relaxtpu.ops.warp``, exact for |displacement| <= 32px, the dominant
+    cost of the whole flow computation), 'exact' = XLA gather (unbounded
+    displacements, ~6x slower on TPU).
     """
     h, w = flow.shape[1:]
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     dx = flow[0]
     dy = flow[1]
-    fx = xs + dx
-    fy = ys + dy
-    x1 = jnp.floor(fx)
-    y1 = jnp.floor(fy)
-    tx = fx - x1
-    ty = fy - y1
+    x1 = jnp.floor(xs + dx)
+    y1 = jnp.floor(ys + dy)
     inside = (x1 >= 0) & (x1 <= w - 2) & (y1 >= 0) & (y1 <= h - 2)
-    xi = jnp.clip(x1.astype(jnp.int32), 0, w - 2)
-    yi = jnp.clip(y1.astype(jnp.int32), 0, h - 2)
-    a00 = ((1 - tx) * (1 - ty))[..., None]
-    a01 = (tx * (1 - ty))[..., None]
-    a10 = ((1 - tx) * ty)[..., None]
-    a11 = (tx * ty)[..., None]
 
-    r1w = (
-        a00 * r1i[yi, xi]
-        + a01 * r1i[yi, xi + 1]
-        + a10 * r1i[yi + 1, xi]
-        + a11 * r1i[yi + 1, xi + 1]
-    )
+    if warp == "banded":
+        r1w = warp_planes_banded(r1, flow)
+    else:
+        r1w = _warp_exact(r1, flow)
 
-    r2_in = (r0[0] - r1w[..., 0]) * 0.5
-    r3_in = (r0[1] - r1w[..., 1]) * 0.5
-    r4_in = (r0[2] + r1w[..., 2]) * 0.5
-    r5_in = (r0[3] + r1w[..., 3]) * 0.5
-    r6_in = (r0[4] + r1w[..., 4]) * 0.25
+    r2_in = (r0[0] - r1w[0]) * 0.5
+    r3_in = (r0[1] - r1w[1]) * 0.5
+    r4_in = (r0[2] + r1w[2]) * 0.5
+    r5_in = (r0[3] + r1w[3]) * 0.5
+    r6_in = (r0[4] + r1w[4]) * 0.25
 
     r2 = jnp.where(inside, r2_in, r0[0] * 0.5)
     r3 = jnp.where(inside, r3_in, r0[1] * 0.5)
@@ -233,14 +263,16 @@ def _update_matrices(r0: jax.Array, r1i: jax.Array, flow: jax.Array) -> jax.Arra
 
 
 def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
-    """winsize x winsize box sum with replicate border; m is (C, H, W)."""
+    """winsize x winsize box sum with replicate border; m is (C, H, W).
+
+    Shifted adds on the VPU (see ``_sep_correlate`` — a 1-channel conv would
+    waste the MXU)."""
     r = winsize // 2
-    x = jnp.pad(m, ((0, 0), (r, r), (r, r)), mode="edge")[:, None]  # (C,1,H+2r,W+2r)
-    kx = jnp.ones((1, 1, 1, winsize), jnp.float32)
-    ky = jnp.ones((1, 1, winsize, 1), jnp.float32)
-    y = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID")
-    y = jax.lax.conv_general_dilated(y, ky, (1, 1), "VALID")
-    return y[:, 0]
+    c, h, w = m.shape
+    x = jnp.pad(m, ((0, 0), (r, r), (r, r)), mode="edge")  # (C, H+2r, W+2r)
+    x = sum(jax.lax.slice(x, (0, 0, i), (c, x.shape[1], i + w)) for i in range(winsize))
+    x = sum(jax.lax.slice(x, (0, j, 0), (c, j + h, w)) for j in range(winsize))
+    return x
 
 
 def _update_flow(r0: jax.Array, r1: jax.Array, flow: jax.Array, m: jax.Array, winsize: int) -> jax.Array:
@@ -260,7 +292,9 @@ def _update_flow(r0: jax.Array, r1: jax.Array, flow: jax.Array, m: jax.Array, wi
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pyr_scale", "levels", "winsize", "iterations", "poly_n", "poly_sigma"),
+    static_argnames=(
+        "pyr_scale", "levels", "winsize", "iterations", "poly_n", "poly_sigma", "warp",
+    ),
 )
 def farneback_flow(
     prev_gray: jax.Array,
@@ -271,8 +305,13 @@ def farneback_flow(
     iterations: int = 3,
     poly_n: int = 5,
     poly_sigma: float = 1.2,
+    warp: str = "banded",
 ) -> jax.Array:
-    """Dense flow (H, W, 2) float32 from two grayscale images (uint8 or float)."""
+    """Dense flow (H, W, 2) float32 from two grayscale images (uint8 or float).
+
+    ``warp``: 'banded' (MXU one-hot warp, exact for displacements <= 32px per
+    level — the fast default) or 'exact' (XLA gather, unbounded).
+    """
     h, w = prev_gray.shape
     prev_f = prev_gray.astype(jnp.float32)
     next_f = next_gray.astype(jnp.float32)
@@ -301,7 +340,6 @@ def farneback_flow(
             imgs.append(_resize_linear(im, (hk, wk)))
         r0 = _poly_expansion(imgs[0], poly_n, poly_sigma)
         r1 = _poly_expansion(imgs[1], poly_n, poly_sigma)
-        r1i = jnp.transpose(r1, (1, 2, 0))  # interleave ONCE per level
 
         if flow is None:
             flow = jnp.zeros((2, hk, wk), jnp.float32)
@@ -310,10 +348,10 @@ def farneback_flow(
                 flow, (2, hk, wk), method="linear", antialias=False
             ) * (1.0 / pyr_scale)
 
-        m = _update_matrices(r0, r1i, flow)
+        m = _update_matrices(r0, r1, flow, warp)
         for i in range(iterations):
             flow = _update_flow(r0, r1, flow, m, winsize)
             if i < iterations - 1:
-                m = _update_matrices(r0, r1i, flow)
+                m = _update_matrices(r0, r1, flow, warp)
     # planar (2, H, W) internally (clean TPU tiling); (H, W, 2) API
     return jnp.transpose(flow, (1, 2, 0))

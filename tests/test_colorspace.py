@@ -45,3 +45,35 @@ def test_flow_to_bgr_zero_flow():
     got = np.asarray(flow_to_bgr(jnp.asarray(flow)))
     want = oracle_flow_to_rgb(flow)
     np.testing.assert_array_equal(got, want)
+
+
+def test_yuv420_device_matches_host_bit_exact(rng):
+    """ops.colorspace.yuv420_to_bgr == io.video._yuv420_to_bgr_limited."""
+    import jax.numpy as jnp
+
+    from relaxtpu.io.video import _yuv420_to_bgr_limited
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, yuv420_to_bgr
+
+    h, w = 96, 128
+    bgr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    y, u, v = bgr_to_yuv420(bgr)
+    stacked = np.concatenate([y, u.reshape(h // 4, w), v.reshape(h // 4, w)], axis=0)
+    want = _yuv420_to_bgr_limited(stacked, w, h)
+    got = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_yuv420_roundtrip_close(rng):
+    """BGR -> I420 -> BGR stays within chroma-subsampling error."""
+    import jax.numpy as jnp
+
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, yuv420_to_bgr
+
+    bgr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8).astype(np.float32)
+    # smooth the chroma so 4:2:0 subsampling is near-lossless
+    import scipy.ndimage as ndi
+
+    bgr = ndi.gaussian_filter(bgr, (3, 3, 0)).astype(np.uint8)
+    y, u, v = bgr_to_yuv420(bgr)
+    back = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    assert np.abs(back.astype(int) - bgr.astype(int)).mean() < 6

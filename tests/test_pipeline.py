@@ -55,3 +55,26 @@ def test_pair_features_batch_invariance(extractor, rng):
     fr_0, fv_0 = extractor.pair_features(prev[:1], nxt[:1])
     np.testing.assert_allclose(fr_b[0], fr_0[0], rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(fv_b[0], fv_0[0], rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_yuv_ingest_matches_bgr_ingest(extractor, rng):
+    """YUV-ingest program == BGR-ingest program bit-for-bit in frames.
+
+    The device I420->BGR conversion bit-matches the host converter, so
+    feeding the same frames through either ingest must give the same
+    features (the YUV path halves host->device transfer)."""
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, yuv420_to_bgr
+    import jax.numpy as jnp
+
+    chain = rng.integers(0, 256, (4, 96, 128, 3), dtype=np.uint8)
+    fyuv = bgr_to_yuv420(chain)
+    nyuv = bgr_to_yuv420(np.roll(chain, -1, axis=0)[:3])
+    # the BGR path must see EXACTLY the frames the device converter makes
+    frames = np.asarray(yuv420_to_bgr(*map(jnp.asarray, fyuv)))
+    nxt = np.asarray(yuv420_to_bgr(*map(jnp.asarray, nyuv)))
+    want = np.asarray(
+        extractor.video_feature_async(frames, frames[:3], nxt, bucket=4)
+    )
+    got = np.asarray(extractor.video_feature_async_yuv(fyuv, nyuv, bucket=4))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

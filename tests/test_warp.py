@@ -1,0 +1,91 @@
+"""Banded one-hot MXU warp (relaxtpu.ops.warp) vs a numpy bilinear oracle.
+
+The warp replaces the XLA-gather bilinear sample in the Farneback matrix
+update (ref: warp inside cv2 FarnebackUpdateMatrices, driven from
+``cv2.calcOpticalFlowFarneback``, main_fragment_layerstack.py:313-315).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from relaxtpu.ops.warp import (
+    warp_planes_banded,
+    warp_planes_banded_pallas,
+    warp_planes_banded_xla,
+)
+
+
+def oracle(planes, flow):
+    """Bilinear sample with corner clamp — matches ops.flow._warp_exact."""
+    c, h, w = planes.shape
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    fx = xs + flow[0]
+    fy = ys + flow[1]
+    x1 = np.floor(fx)
+    y1 = np.floor(fy)
+    tx = fx - x1
+    ty = fy - y1
+    xi = np.clip(x1.astype(np.int32), 0, w - 2)
+    yi = np.clip(y1.astype(np.int32), 0, h - 2)
+    out = np.empty_like(planes)
+    for k in range(c):
+        p = planes[k]
+        out[k] = (
+            (1 - tx) * (1 - ty) * p[yi, xi]
+            + tx * (1 - ty) * p[yi, xi + 1]
+            + (1 - tx) * ty * p[yi + 1, xi]
+            + tx * ty * p[yi + 1, xi + 1]
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "c,h,w", [(5, 120, 160), (5, 68, 120), (1, 64, 256), (3, 96, 130)]
+)
+def test_xla_banded_matches_oracle_in_band(rng, c, h, w):
+    planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
+    flow = rng.normal(0, 5, (2, h, w)).astype(np.float32)  # well within band
+    want = oracle(planes, flow)
+    got = np.asarray(warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_out_of_image_is_finite_everywhere(rng):
+    planes = rng.normal(0, 50, (5, 64, 128)).astype(np.float32)
+    flow = rng.normal(0, 200, (2, 64, 128)).astype(np.float32)  # mostly outside
+    got = np.asarray(warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow)))
+    assert np.isfinite(got).all()
+
+
+def test_pallas_interpret_matches_xla(rng):
+    c, h, w = 5, 120, 160
+    planes = jnp.asarray(rng.normal(0, 50, (c, h, w)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 4, (2, h, w)).astype(np.float32))
+    want = np.asarray(warp_planes_banded_xla(planes, flow))
+    got = np.asarray(warp_planes_banded_pallas(planes, flow, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_pallas_interpret_vmap(rng):
+    c, h, w = 2, 64, 128
+    planes = jnp.asarray(rng.normal(0, 50, (3, c, h, w)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 4, (3, 2, h, w)).astype(np.float32))
+    got = np.asarray(
+        jax.vmap(lambda p, f: warp_planes_banded_pallas(p, f, interpret=True))(
+            planes, flow
+        )
+    )
+    want = np.stack(
+        [np.asarray(warp_planes_banded_xla(planes[i], flow[i])) for i in range(3)]
+    )
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_dispatcher_runs(rng):
+    """warp_planes_banded picks a working implementation on any backend."""
+    planes = jnp.asarray(rng.normal(0, 50, (5, 120, 160)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(0, 4, (2, 120, 160)).astype(np.float32))
+    got = np.asarray(warp_planes_banded(planes, flow))
+    want = oracle(np.asarray(planes), np.asarray(flow))
+    np.testing.assert_allclose(got, want, atol=2e-2)
