@@ -35,6 +35,7 @@ struct Decoder {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* codec = nullptr;
   SwsContext* sws = nullptr;
+  SwsContext* sws_yuv = nullptr;
   int stream_index = -1;
   int width = 0;
   int height = 0;
@@ -220,10 +221,79 @@ int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
   return written;
 }
 
+// Decode selected frames as I420 planes (y: H*W, u/v: (H/2)*(W/2) each per
+// frame) — the decoder-native layout, 1.5 bytes/px.  Sources in any other
+// pixel format (yuvj420p full-range, 444, 10-bit, ...) are converted to
+// limited-range yuv420p by swscale, so downstream BT.601-limited math stays
+// correct.  Callers use this for the TPU YUV-ingest path: planes upload at
+// half the bytes of BGR24 and the colorspace conversion fuses into the
+// device program (relaxtpu.ops.colorspace.yuv420_to_bgr).
+int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
+                                  int64_t n, uint8_t* y_out, uint8_t* u_out,
+                                  uint8_t* v_out) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || n <= 0) return 0;
+  if ((d->width % 2) || (d->height % 2)) return -1;  // I420 needs even dims
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t count = 0, next_i = 0, written = 0;
+  const int cw = d->width / 2, ch = d->height / 2;
+  const int64_t y_bytes = static_cast<int64_t>(d->height) * d->width;
+  const int64_t c_bytes = static_cast<int64_t>(ch) * cw;
+
+  auto handle_frame = [&](AVFrame* f) {
+    if (next_i < n && count == indices[next_i]) {
+      auto src_fmt = static_cast<AVPixelFormat>(f->format);
+      uint8_t* dst[3] = {y_out + written * y_bytes, u_out + written * c_bytes,
+                         v_out + written * c_bytes};
+      int dst_stride[3] = {d->width, cw, cw};
+      if (src_fmt == AV_PIX_FMT_YUV420P) {
+        // plane copy, no conversion
+        for (int r = 0; r < d->height; ++r)
+          memcpy(dst[0] + static_cast<int64_t>(r) * d->width,
+                 f->data[0] + static_cast<int64_t>(r) * f->linesize[0], d->width);
+        for (int p = 1; p <= 2; ++p)
+          for (int r = 0; r < ch; ++r)
+            memcpy(dst[p] + static_cast<int64_t>(r) * cw,
+                   f->data[p] + static_cast<int64_t>(r) * f->linesize[p], cw);
+      } else {
+        if (!d->sws_yuv) {
+          d->sws_yuv = sws_getContext(d->width, d->height, src_fmt, d->width,
+                                      d->height, AV_PIX_FMT_YUV420P,
+                                      SWS_BILINEAR, nullptr, nullptr, nullptr);
+        }
+        sws_scale(d->sws_yuv, f->data, f->linesize, 0, d->height, dst, dst_stride);
+      }
+      ++written;
+      ++next_i;
+    }
+    ++count;
+  };
+
+  while (next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_index) {
+      if (avcodec_send_packet(d->codec, pkt) >= 0) {
+        while (avcodec_receive_frame(d->codec, frame) >= 0) handle_frame(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(d->codec, nullptr);
+  while (next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
+    handle_frame(frame);
+  }
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  return written;
+}
+
 void relax_close(void* handle) {
   auto* d = static_cast<Decoder*>(handle);
   if (!d) return;
   if (d->sws) sws_freeContext(d->sws);
+  if (d->sws_yuv) sws_freeContext(d->sws_yuv);
   if (d->codec) avcodec_free_context(&d->codec);
   if (d->fmt) avformat_close_input(&d->fmt);
   delete d;

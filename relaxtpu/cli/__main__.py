@@ -68,7 +68,8 @@ def cmd_predict(args):
         extractor, variables, scaler, video_type=args.video_type, is_finetune=args.finetuned
     )
     mos = predictor.predict_file(args.video, framerate=args.framerate,
-                                 width=args.width, height=args.height)
+                                 width=args.width, height=args.height,
+                                 ingest=args.ingest)
     print(json.dumps({"video": args.video, "predicted_mos": mos}))
 
 
@@ -488,6 +489,10 @@ def build_parser():
     sp.add_argument("--framerate", type=float, default=None)
     sp.add_argument("--width", type=int, default=None)
     sp.add_argument("--height", type=int, default=None)
+    sp.add_argument("--ingest", default="bgr", choices=["bgr", "yuv", "auto"],
+                    help="yuv: upload decoder-native I420 planes (half the "
+                    "bytes, device colorspace); bgr: host conversion "
+                    "(reference-decode parity)")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_predict)
 

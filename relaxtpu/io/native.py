@@ -73,6 +73,15 @@ def _load():
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.relax_decode_selected_yuv.restype = ctypes.c_int64
+    lib.relax_decode_selected_yuv.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.relax_close.restype = None
     lib.relax_close.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -132,6 +141,33 @@ class NativeDecoder:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         return out[: int(n)]
+
+    def decode_selected_yuv(self, indices):
+        """Decode the (sorted) frame indices as I420 planes.
+
+        Returns (y, u, v): (n, H, W), (n, H/2, W/2), (n, H/2, W/2) uint8 —
+        the decoder-native layout for the TPU YUV-ingest path (1.5 bytes/px
+        host->device; device converts, ``ops.colorspace.yuv420_to_bgr``).
+        Requires even frame dimensions; raises ValueError otherwise.
+        """
+        if self.width % 2 or self.height % 2:
+            raise ValueError("YUV ingest needs even frame dimensions")
+        idx = np.asarray(sorted(indices), np.int64)
+        y = np.empty((len(idx), self.height, self.width), np.uint8)
+        u = np.empty((len(idx), self.height // 2, self.width // 2), np.uint8)
+        v = np.empty_like(u)
+        n = self._lib.relax_decode_selected_yuv(
+            self._h,
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if n < 0:
+            raise ValueError("YUV decode failed (odd dimensions?)")
+        n = int(n)
+        return y[:n], u[:n], v[:n]
 
     def close(self):
         if self._h:

@@ -89,24 +89,15 @@ def _read_yuv420_frames(path: str, width: int, height: int, indices: list[int]) 
 
 
 def _chroma_upsample2x(c: np.ndarray) -> np.ndarray:
-    """Half-pixel-centre bilinear 2x upsample (float, edge-clamped).
+    """Nearest (sample-doubling) 2x chroma upsample.
 
-    out[2i] = 0.25*c[i-1] + 0.75*c[i]; out[2i+1] = 0.75*c[i] + 0.25*c[i+1]
-    per axis — the same closed form ``relaxtpu.ops.colorspace.yuv420_to_bgr``
-    computes on device, so host and device conversions bit-match."""
+    Matches swscale's unscaled yuv420p->rgb fast path (one chroma sample per
+    2x2 luma block, no interpolation) — the converter behind both the
+    reference's ffmpeg PNG dumps and our native decoder's BGR output.  The
+    same closed form runs on device (``relaxtpu.ops.colorspace.yuv420_to_bgr``),
+    so host and device conversions bit-match."""
     c = c.astype(np.float32)
-
-    def axis_up(a):  # upsample last axis
-        lo = np.concatenate([a[..., :1], a[..., :-1]], axis=-1)
-        hi = np.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
-        even = 0.25 * lo + 0.75 * a
-        odd = 0.75 * a + 0.25 * hi
-        out = np.empty((*a.shape[:-1], a.shape[-1] * 2), np.float32)
-        out[..., 0::2] = even
-        out[..., 1::2] = odd
-        return out
-
-    return np.swapaxes(axis_up(np.swapaxes(axis_up(c), -1, -2)), -1, -2)
+    return np.repeat(np.repeat(c, 2, axis=-2), 2, axis=-1)
 
 
 def _yuv420_to_bgr_limited(yuv: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -114,7 +105,7 @@ def _yuv420_to_bgr_limited(yuv: np.ndarray, width: int, height: int) -> np.ndarr
     defaults — the reference decodes LIVE-Qualcomm .yuv via the ffmpeg CLI
     (``extract_metadata_NR.py`` / ``video_frames_extract``), and cv2's
     COLOR_YUV2BGR_I420 applies a different luma transfer (up to ~20/255 off
-    at dark pixels).  Chroma is upsampled bilinearly like sws."""
+    at dark pixels).  Chroma is doubled per 2x2 block like sws's unscaled fast path."""
     y = yuv[:height].astype(np.float32)
     u = yuv[height : height + height // 4].reshape(height // 2, width // 2)
     v = yuv[height + height // 4 :].reshape(height // 2, width // 2)
@@ -272,6 +263,41 @@ def decode_video_inputs(
         prev = np.stack([lookup[a] for a, _ in pairs])
     nxt = np.stack([lookup[b] for _, b in pairs])
     return frames, prev, nxt
+
+
+def decode_video_inputs_yuv(
+    path: str,
+    framerate: float | None = None,
+) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(frames_yuv, next_yuv) as I420 plane stacks, one decode pass.
+
+    The TPU-ingest layout: planes upload at 1.5 bytes/px and the BGR
+    conversion fuses into the device program
+    (``FeatureExtractor.video_feature_async_yuv``).  The pairs' first frames
+    are the sampled frames, so only these two stacks exist.  Requires the
+    native decoder and even frame dimensions — callers fall back to
+    :func:`decode_video_inputs` (BGR) otherwise.
+    """
+    from relaxtpu.io import native
+
+    if not native.available():
+        raise RuntimeError("YUV ingest requires the native decoder (native/build.sh)")
+    if framerate is None:
+        framerate = probe_video(path)["framerate"]
+    interval = frame_interval_for(framerate)
+    n = probe_video(path)["nb_frames"]
+    firsts = sample_indices(n, interval)
+    pairs = residual_pair_indices(n, interval)
+    flat = sorted({i for p in pairs for i in p} | set(firsts))
+    with native.NativeDecoder(path) as dec:
+        y, u, v = dec.decode_selected_yuv(flat)
+    pos = {idx: k for k, idx in enumerate(flat[: len(y)])}
+    fsel = [pos[i] for i in firsts if i in pos]
+    pairs = [(a, b) for a, b in pairs if a in pos and b in pos]
+    nsel = [pos[b] for _, b in pairs]
+    frames_yuv = (y[fsel], u[fsel], v[fsel])
+    next_yuv = (y[nsel], u[nsel], v[nsel])
+    return frames_yuv, next_yuv
 
 
 def decode_frame_pairs(

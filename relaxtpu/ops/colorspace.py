@@ -95,7 +95,7 @@ def yuv420_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """BT.601 limited-range I420 -> BGR uint8, on device.
 
     Bit-matches the host converter ``relaxtpu.io.video._yuv420_to_bgr_limited``
-    (which itself matches ffmpeg/sws defaults: bilinear chroma upsample,
+    (which itself matches ffmpeg/sws defaults: nearest 2x2 chroma,
     float BT.601 limited-range matrix, round-to-nearest) so the same video
     produces the same frames whether colorspace conversion runs on the host
     or fused into the device program.  Moving it on-device halves the
@@ -106,16 +106,12 @@ def yuv420_to_bgr(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     """
     h, w = y.shape[-2:]
 
-    def axis_up(a):  # half-pixel-centre bilinear 2x along the last axis
-        lo = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
-        hi = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
-        even = 0.25 * lo + 0.75 * a
-        odd = 0.75 * a + 0.25 * hi
-        return jnp.stack([even, odd], axis=-1).reshape(*a.shape[:-1], a.shape[-1] * 2)
-
     def upsample(c):
+        # nearest doubling: one chroma sample per 2x2 luma block, matching
+        # swscale's unscaled yuv420p->rgb fast path (the reference's ffmpeg
+        # PNG dumps and our native decoder's BGR output go through it)
         c = c.astype(jnp.float32)
-        return jnp.swapaxes(axis_up(jnp.swapaxes(axis_up(c), -1, -2)), -1, -2)
+        return jnp.repeat(jnp.repeat(c, 2, axis=-2), 2, axis=-1)
 
     yl = 1.164383 * (y.astype(jnp.float32) - 16.0)
     uu = upsample(u) - 128.0

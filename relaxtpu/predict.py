@@ -53,7 +53,31 @@ class VideoQualityPredictor:
         return self.predict_feature(vec)
 
     def predict_file(self, path: str, framerate: float | None = None,
-                     width: int | None = None, height: int | None = None) -> float:
+                     width: int | None = None, height: int | None = None,
+                     ingest: str = "bgr") -> float:
+        """``ingest``: 'yuv' uploads decoder-native I420 planes (half the
+        host->device bytes; device conversion bit-matches the host converter
+        — frames differ from the sws BGR decode by <=2 LSB where sws rounds
+        differently), 'bgr' converts on host (reference-decode parity, the
+        default), 'auto' prefers yuv when the native decoder + even
+        dimensions allow it."""
+        if ingest in ("auto", "yuv") and not path.endswith(".yuv"):
+            try:
+                from relaxtpu.io.video import decode_video_inputs_yuv
+
+                frames_yuv, next_yuv = decode_video_inputs_yuv(path, framerate)
+                log.info(
+                    "decoded %d frames, %d pairs from %s (yuv ingest)",
+                    len(frames_yuv[0]), len(next_yuv[0]), path,
+                )
+                vec = np.asarray(
+                    self.extractor.video_feature_async_yuv(frames_yuv, next_yuv)
+                )
+                return self.predict_feature(vec)
+            except Exception as e:
+                if ingest == "yuv":
+                    raise
+                log.info("yuv ingest unavailable (%s); falling back to bgr", e)
         from relaxtpu.io.video import decode_video_inputs
 
         frames, prev, nxt = decode_video_inputs(path, framerate, width, height)

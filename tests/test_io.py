@@ -158,3 +158,43 @@ def test_greyscale_detector(rng):
     assert not is_greyscale_image(color)
     assert video_is_greyscale(np.stack([grey, grey]))
     assert not video_is_greyscale(np.stack([grey, color]))
+
+
+def test_native_yuv_decode_close_to_bgr_decode(tmp_path, rng):
+    """decode_selected_yuv + device conversion ~= sws BGR decode (<=3 LSB).
+
+    The two paths differ only in who runs the BT.601 conversion (sws's
+    fixed-point with its own chroma filter vs our closed-form float bilinear);
+    content must agree to within a couple of LSB everywhere.
+    """
+    cv2 = pytest.importorskip("cv2")
+    import jax.numpy as jnp
+
+    from relaxtpu.io import native
+    from relaxtpu.ops.colorspace import yuv420_to_bgr
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    path = str(tmp_path / "clip.mp4")
+    w, h, n = 128, 96, 12
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.float32), (0, 0), 3
+    )
+    for i in range(n):
+        vw.write(np.clip(base + rng.normal(0, 6, base.shape), 0, 255).astype(np.uint8))
+    vw.release()
+
+    idx = [0, 3, 7]
+    with native.NativeDecoder(path) as dec:
+        bgr = dec.decode_selected(idx)
+    with native.NativeDecoder(path) as dec:
+        y, u, v = dec.decode_selected_yuv(idx)
+    ours = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+    assert ours.shape == bgr.shape
+    d = np.abs(ours.astype(int) - bgr.astype(int))
+    # residual vs sws: its fixed-point tables + ordered dither sit +-1 almost
+    # everywhere; anything beyond a few LSB would mean a real formula mismatch
+    assert d.max() <= 3, d.max()
+    assert d.mean() < 1.5, d.mean()
+    assert (d > 2).mean() < 0.02
