@@ -221,16 +221,17 @@ int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
   return written;
 }
 
-// Decode selected frames as I420 planes (y: H*W, u/v: (H/2)*(W/2) each per
-// frame) — the decoder-native layout, 1.5 bytes/px.  Sources in any other
-// pixel format (yuvj420p full-range, 444, 10-bit, ...) are converted to
-// limited-range yuv420p by swscale, so downstream BT.601-limited math stays
-// correct.  Callers use this for the TPU YUV-ingest path: planes upload at
-// half the bytes of BGR24 and the colorspace conversion fuses into the
-// device program (relaxtpu.ops.colorspace.yuv420_to_bgr).
+// Decode selected frames as frame-contiguous I420 (per frame: H*W luma then
+// (H/2)*(W/2) U then V — the standard I420 byte order) into ONE buffer of
+// n * H*W*3/2 bytes.  This is the decoder-native layout at 1.5 bytes/px;
+// one contiguous buffer means ONE host->device transfer for the whole stack
+// (per-transfer round-trips dominate on tunneled links).  Sources in any
+// other pixel format (yuvj420p full-range, 444, 10-bit, ...) are converted
+// to limited-range yuv420p by swscale, so downstream BT.601-limited math
+// stays correct.  Device-side unpack + conversion:
+// relaxtpu.ops.colorspace.{unpack_i420, yuv420_to_bgr}.
 int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
-                                  int64_t n, uint8_t* y_out, uint8_t* u_out,
-                                  uint8_t* v_out) {
+                                  int64_t n, uint8_t* out) {
   auto* d = static_cast<Decoder*>(handle);
   if (!d || n <= 0) return 0;
   if ((d->width % 2) || (d->height % 2)) return -1;  // I420 needs even dims
@@ -241,12 +242,13 @@ int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
   const int cw = d->width / 2, ch = d->height / 2;
   const int64_t y_bytes = static_cast<int64_t>(d->height) * d->width;
   const int64_t c_bytes = static_cast<int64_t>(ch) * cw;
+  const int64_t frame_bytes = y_bytes + 2 * c_bytes;
 
   auto handle_frame = [&](AVFrame* f) {
     if (next_i < n && count == indices[next_i]) {
       auto src_fmt = static_cast<AVPixelFormat>(f->format);
-      uint8_t* dst[3] = {y_out + written * y_bytes, u_out + written * c_bytes,
-                         v_out + written * c_bytes};
+      uint8_t* base = out + written * frame_bytes;
+      uint8_t* dst[3] = {base, base + y_bytes, base + y_bytes + c_bytes};
       int dst_stride[3] = {d->width, cw, cw};
       if (src_fmt == AV_PIX_FMT_YUV420P) {
         // plane copy, no conversion

@@ -146,16 +146,17 @@ class FeatureExtractor:
             ]
         )
 
-    def _video_vec_yuv(self, resnet_vars, vit_vars, fy, fu, fv, ny, nu, nv, n_frames, n_pairs):
-        """YUV-ingest variant: I420 planes -> BGR on device (bit-matches the
+    def _video_vec_i420(self, resnet_vars, vit_vars, fbuf, nbuf, n_frames, n_pairs, h, w):
+        """YUV-ingest variant: packed I420 -> BGR on device (bit-matches the
         host converter, see ops.colorspace.yuv420_to_bgr), then the standard
-        program.  Halves host->device transfer; the pairs' first frames ARE
-        the sampled frames (reference sampling scheme), so only two plane
-        sets travel."""
-        from relaxtpu.ops.colorspace import yuv420_to_bgr
+        program.  Halves host->device transfer AND moves it in exactly two
+        contiguous buffers (per-transfer round-trips dominate on tunneled
+        links); the pairs' first frames ARE the sampled frames (reference
+        sampling scheme), so only two buffers travel."""
+        from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
 
-        frames = yuv420_to_bgr(fy, fu, fv)
-        nxt = yuv420_to_bgr(ny, nu, nv)
+        frames = yuv420_to_bgr(*unpack_i420(fbuf, h, w))
+        nxt = yuv420_to_bgr(*unpack_i420(nbuf, h, w))
         prev = frames[: nxt.shape[0]]
         return self._video_vec(resnet_vars, vit_vars, frames, prev, nxt, n_frames, n_pairs)
 
@@ -232,24 +233,44 @@ class FeatureExtractor:
         """Enqueue the whole-video program from I420 planes (async).
 
         ``frames_yuv``/``next_yuv``: (y, u, v) uint8 plane stacks — y is
-        (B, H, W), u/v are (B, H/2, W/2).  The pairs' first frames are the
-        sampled frames (reference sampling scheme), so exactly two plane sets
-        are uploaded: 1.5 bytes/px vs 3 for BGR ingest, and the colorspace
-        conversion (bit-identical to the host converter) fuses into the
-        device program.  Returns the (35203,) device vector without blocking.
+        (B, H, W), u/v are (B, H/2, W/2).  Packs to the contiguous I420
+        layout and delegates to :meth:`video_feature_async_i420`.
         """
-        fy, fu, fv = (np.asarray(p) for p in frames_yuv)
-        ny, nu, nv = (np.asarray(p) for p in next_yuv)
-        h, w = fy.shape[1], fy.shape[2]
-        if len(ny) > self.max_pair_batch(h, w):
-            # high-res fallback: convert on host, run the chunked sync path
-            from relaxtpu.ops.colorspace import yuv420_to_bgr
+        from relaxtpu.ops.colorspace import pack_i420
 
-            frames = np.asarray(yuv420_to_bgr(jnp.asarray(fy), jnp.asarray(fu), jnp.asarray(fv)))
-            nxt = np.asarray(yuv420_to_bgr(jnp.asarray(ny), jnp.asarray(nu), jnp.asarray(nv)))
+        fy = np.asarray(frames_yuv[0])
+        h, w = fy.shape[1], fy.shape[2]
+        return self.video_feature_async_i420(
+            pack_i420(*frames_yuv), pack_i420(*next_yuv), h, w, bucket=bucket
+        )
+
+    def video_feature_async_i420(
+        self, frames_i420, next_i420, h: int, w: int, bucket: int = 8
+    ):
+        """Enqueue the whole-video program from packed I420 buffers (async).
+
+        ``frames_i420``/``next_i420``: (B, H*W*3/2) uint8, the decoder's
+        native layout (``NativeDecoder.decode_selected_i420``).  The pairs'
+        first frames are the sampled frames (reference sampling scheme), so
+        exactly TWO contiguous buffers are uploaded — 1.5 bytes/px vs 3 for
+        BGR ingest, and one transfer each instead of six (per-transfer
+        round-trips dominate on tunneled links).  The colorspace conversion
+        (bit-identical to the host converter) fuses into the device program.
+        Returns the (35203,) device vector without blocking.
+        """
+        fbuf = np.asarray(frames_i420)
+        nbuf = np.asarray(next_i420)
+        if len(nbuf) > self.max_pair_batch(h, w):
+            # high-res fallback: convert on host, run the chunked sync path
+            from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
+
+            frames = np.asarray(yuv420_to_bgr(*unpack_i420(jnp.asarray(fbuf), h, w)))
+            nxt = np.asarray(yuv420_to_bgr(*unpack_i420(jnp.asarray(nbuf), h, w)))
             return jnp.asarray(self.video_feature(frames, frames[: len(nxt)], nxt))
-        if not hasattr(self, "_video_fn_yuv_v"):
-            self._video_fn_yuv_v = jax.jit(self._video_vec_yuv)
+        if not hasattr(self, "_video_fn_i420_v"):
+            self._video_fn_i420_v = jax.jit(
+                self._video_vec_i420, static_argnums=(6, 7)
+            )
 
         def pad(a, n_to):
             p = (-len(a)) % n_to
@@ -257,14 +278,66 @@ class FeatureExtractor:
                 a = np.concatenate([a, np.repeat(a[-1:], p, axis=0)], axis=0)
             return a
 
-        n_frames, n_pairs = len(fy), len(ny)
-        args = [pad(a, bucket) for a in (fy, fu, fv, ny, nu, nv)]
-        return self._video_fn_yuv_v(
+        n_frames, n_pairs = len(fbuf), len(nbuf)
+        return self._video_fn_i420_v(
             self.resnet_vars,
             self.vit_vars,
-            *(jnp.asarray(a) for a in args),
+            jnp.asarray(pad(fbuf, bucket)),
+            jnp.asarray(pad(nbuf, bucket)),
             jnp.asarray(n_frames, jnp.int32),
             jnp.asarray(n_pairs, jnp.int32),
+            h,
+            w,
+        )
+
+    def _videos_vec_i420(self, resnet_vars, vit_vars, fbufs, nbufs, n_frames, n_pairs, h, w):
+        """Batched whole-video program: vmap of ``_video_vec_i420`` over a
+        video axis.  One dispatch + two uploads cover the whole batch."""
+        return jax.vmap(
+            lambda fb, nb, nf, npair: self._video_vec_i420(
+                resnet_vars, vit_vars, fb, nb, nf, npair, h, w
+            )
+        )(fbufs, nbufs, n_frames, n_pairs)
+
+    def video_features_batch_i420(
+        self, frames_i420_list, next_i420_list, h: int, w: int, bucket: int = 8
+    ):
+        """Enqueue MANY videos as one device program (async).
+
+        All videos are padded to the batch's max frame/pair count (bucketed),
+        stacked, and uploaded as two contiguous buffers; masked means keep
+        the math exact per video.  Amortizes the per-dispatch round-trip and
+        per-transfer overhead across the batch — the serving-throughput mode.
+        Returns a (V, 35203) device array without blocking.
+        """
+        if not hasattr(self, "_videos_fn_i420_v"):
+            self._videos_fn_i420_v = jax.jit(
+                self._videos_vec_i420, static_argnums=(6, 7)
+            )
+
+        fl = [np.asarray(a) for a in frames_i420_list]
+        nl = [np.asarray(a) for a in next_i420_list]
+        nf = np.asarray([len(a) for a in fl], np.int32)
+        npair = np.asarray([len(a) for a in nl], np.int32)
+        fmax = -(-max(map(len, fl)) // bucket) * bucket
+        nmax = -(-max(map(len, nl)) // bucket) * bucket
+
+        def pad_to(a, n_to):
+            if len(a) < n_to:
+                a = np.concatenate([a, np.repeat(a[-1:], n_to - len(a), axis=0)])
+            return a
+
+        fstack = np.stack([pad_to(a, fmax) for a in fl])
+        nstack = np.stack([pad_to(a, nmax) for a in nl])
+        return self._videos_fn_i420_v(
+            self.resnet_vars,
+            self.vit_vars,
+            jnp.asarray(fstack),
+            jnp.asarray(nstack),
+            jnp.asarray(nf),
+            jnp.asarray(npair),
+            h,
+            w,
         )
 
     def max_pair_batch(self, h: int, w: int) -> int:

@@ -79,8 +79,6 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.relax_close.restype = None
     lib.relax_close.argtypes = [ctypes.c_void_p]
@@ -142,32 +140,28 @@ class NativeDecoder:
         )
         return out[: int(n)]
 
-    def decode_selected_yuv(self, indices):
-        """Decode the (sorted) frame indices as I420 planes.
+    def decode_selected_i420(self, indices) -> np.ndarray:
+        """Decode the (sorted) frame indices as packed I420.
 
-        Returns (y, u, v): (n, H, W), (n, H/2, W/2), (n, H/2, W/2) uint8 —
-        the decoder-native layout for the TPU YUV-ingest path (1.5 bytes/px
-        host->device; device converts, ``ops.colorspace.yuv420_to_bgr``).
-        Requires even frame dimensions; raises ValueError otherwise.
+        Returns (n, H*W*3/2) uint8 — per frame: H*W luma, then U and V at
+        (H/2, W/2) each, the standard I420 byte order.  One contiguous
+        buffer = ONE host->device transfer for the TPU YUV-ingest path
+        (1.5 bytes/px; device unpack+conversion in
+        ``relaxtpu.ops.colorspace``).  Requires even frame dimensions.
         """
         if self.width % 2 or self.height % 2:
             raise ValueError("YUV ingest needs even frame dimensions")
         idx = np.asarray(sorted(indices), np.int64)
-        y = np.empty((len(idx), self.height, self.width), np.uint8)
-        u = np.empty((len(idx), self.height // 2, self.width // 2), np.uint8)
-        v = np.empty_like(u)
+        out = np.empty((len(idx), self.height * self.width * 3 // 2), np.uint8)
         n = self._lib.relax_decode_selected_yuv(
             self._h,
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             len(idx),
-            y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            u.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if n < 0:
             raise ValueError("YUV decode failed (odd dimensions?)")
-        n = int(n)
-        return y[:n], u[:n], v[:n]
+        return out[: int(n)]
 
     def close(self):
         if self._h:

@@ -265,18 +265,18 @@ def decode_video_inputs(
     return frames, prev, nxt
 
 
-def decode_video_inputs_yuv(
+def decode_video_inputs_i420(
     path: str,
     framerate: float | None = None,
-) -> tuple[tuple[np.ndarray, np.ndarray, np.ndarray], tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """(frames_yuv, next_yuv) as I420 plane stacks, one decode pass.
+) -> tuple[np.ndarray, np.ndarray, int, int]:
+    """(frames_i420, next_i420, h, w) packed plane buffers, one decode pass.
 
-    The TPU-ingest layout: planes upload at 1.5 bytes/px and the BGR
-    conversion fuses into the device program
-    (``FeatureExtractor.video_feature_async_yuv``).  The pairs' first frames
-    are the sampled frames, so only these two stacks exist.  Requires the
-    native decoder and even frame dimensions — callers fall back to
-    :func:`decode_video_inputs` (BGR) otherwise.
+    The TPU-ingest layout: each row is one frame's I420 bytes (1.5 bytes/px),
+    uploaded as ONE contiguous buffer per stack; the BGR conversion fuses
+    into the device program (``FeatureExtractor.video_feature_async_i420``).
+    The pairs' first frames are the sampled frames, so only these two stacks
+    exist.  Requires the native decoder and even frame dimensions — callers
+    fall back to :func:`decode_video_inputs` (BGR) otherwise.
     """
     from relaxtpu.io import native
 
@@ -285,19 +285,19 @@ def decode_video_inputs_yuv(
     if framerate is None:
         framerate = probe_video(path)["framerate"]
     interval = frame_interval_for(framerate)
-    n = probe_video(path)["nb_frames"]
+    info = probe_video(path)
+    n = info["nb_frames"]
     firsts = sample_indices(n, interval)
     pairs = residual_pair_indices(n, interval)
     flat = sorted({i for p in pairs for i in p} | set(firsts))
     with native.NativeDecoder(path) as dec:
-        y, u, v = dec.decode_selected_yuv(flat)
-    pos = {idx: k for k, idx in enumerate(flat[: len(y)])}
+        buf = dec.decode_selected_i420(flat)
+        h, w = dec.height, dec.width
+    pos = {idx: k for k, idx in enumerate(flat[: len(buf)])}
     fsel = [pos[i] for i in firsts if i in pos]
     pairs = [(a, b) for a, b in pairs if a in pos and b in pos]
     nsel = [pos[b] for _, b in pairs]
-    frames_yuv = (y[fsel], u[fsel], v[fsel])
-    next_yuv = (y[nsel], u[nsel], v[nsel])
-    return frames_yuv, next_yuv
+    return buf[fsel], buf[nsel], h, w
 
 
 def decode_frame_pairs(

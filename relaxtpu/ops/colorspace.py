@@ -142,3 +142,32 @@ def bgr_to_yuv420(img_u8) -> tuple:
     ) * 0.25
     to_u8 = lambda c: np.clip(np.rint(c), 0, 255).astype(np.uint8)
     return to_u8(yf), to_u8(sub(uf)), to_u8(sub(vf))
+
+
+def unpack_i420(buf: jax.Array, h: int, w: int) -> tuple:
+    """(n, H*W*3/2) packed I420 -> (y, u, v) plane views, on device.
+
+    Inverse of the packed layout ``native.NativeDecoder.decode_selected_i420``
+    emits (per frame: luma, then U, then V) — free reshapes/slices in XLA.
+    """
+    yb = h * w
+    cb = (h // 2) * (w // 2)
+    y = buf[:, :yb].reshape(-1, h, w)
+    u = buf[:, yb : yb + cb].reshape(-1, h // 2, w // 2)
+    v = buf[:, yb + cb :].reshape(-1, h // 2, w // 2)
+    return y, u, v
+
+
+def pack_i420(y, u, v):
+    """Host-side inverse of :func:`unpack_i420` (numpy): planes -> packed."""
+    import numpy as np
+
+    n = y.shape[0]
+    return np.concatenate(
+        [
+            np.asarray(y).reshape(n, -1),
+            np.asarray(u).reshape(n, -1),
+            np.asarray(v).reshape(n, -1),
+        ],
+        axis=1,
+    )

@@ -63,15 +63,15 @@ class VideoQualityPredictor:
         dimensions allow it."""
         if ingest in ("auto", "yuv") and not path.endswith(".yuv"):
             try:
-                from relaxtpu.io.video import decode_video_inputs_yuv
+                from relaxtpu.io.video import decode_video_inputs_i420
 
-                frames_yuv, next_yuv = decode_video_inputs_yuv(path, framerate)
+                fbuf, nbuf, h, w = decode_video_inputs_i420(path, framerate)
                 log.info(
                     "decoded %d frames, %d pairs from %s (yuv ingest)",
-                    len(frames_yuv[0]), len(next_yuv[0]), path,
+                    len(fbuf), len(nbuf), path,
                 )
                 vec = np.asarray(
-                    self.extractor.video_feature_async_yuv(frames_yuv, next_yuv)
+                    self.extractor.video_feature_async_i420(fbuf, nbuf, h, w)
                 )
                 return self.predict_feature(vec)
             except Exception as e:

@@ -189,8 +189,11 @@ def test_native_yuv_decode_close_to_bgr_decode(tmp_path, rng):
     with native.NativeDecoder(path) as dec:
         bgr = dec.decode_selected(idx)
     with native.NativeDecoder(path) as dec:
-        y, u, v = dec.decode_selected_yuv(idx)
-    ours = np.asarray(yuv420_to_bgr(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)))
+        buf = dec.decode_selected_i420(idx)
+    from relaxtpu.ops.colorspace import unpack_i420
+
+    y, u, v = unpack_i420(jnp.asarray(buf), h, w)
+    ours = np.asarray(yuv420_to_bgr(y, u, v))
     assert ours.shape == bgr.shape
     d = np.abs(ours.astype(int) - bgr.astype(int))
     # residual vs sws: its fixed-point tables + ordered dither sit +-1 almost

@@ -78,3 +78,24 @@ def test_yuv_ingest_matches_bgr_ingest(extractor, rng):
     )
     got = np.asarray(extractor.video_feature_async_yuv(fyuv, nyuv, bucket=4))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_batched_videos_match_single(extractor, rng):
+    """video_features_batch_i420 == per-video video_feature_async_i420."""
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+    h, w = 96, 128
+    fbufs, nbufs = [], []
+    for n in (3, 4):  # ragged counts exercise the per-video masking
+        chain = rng.integers(0, 256, (n + 1, h, w, 3), dtype=np.uint8)
+        fbufs.append(pack_i420(*bgr_to_yuv420(chain[:n])))
+        nbufs.append(pack_i420(*bgr_to_yuv420(chain[1 : n + 1])))
+    batch = np.asarray(
+        extractor.video_features_batch_i420(fbufs, nbufs, h, w, bucket=4)
+    )
+    for i in range(2):
+        single = np.asarray(
+            extractor.video_feature_async_i420(fbufs[i], nbufs[i], h, w, bucket=4)
+        )
+        np.testing.assert_allclose(batch[i], single, rtol=2e-4, atol=2e-4)
