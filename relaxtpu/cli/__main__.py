@@ -152,10 +152,20 @@ def cmd_extract(args):
             store.put(tag, j, np.asarray(dev))
             logging.info("extracted video %d [%d todo]", j + 1, len(pending))
 
+    ingest = getattr(args, "ingest", "bgr")
+
     def decode(row):
+        path = spec.video_path(root, str(row["vid"]))
+        if ingest in ("yuv", "auto") and args.mode == "full" and not path.endswith(".yuv"):
+            try:
+                from relaxtpu.io.video import decode_video_inputs_i420
+
+                return ("i420", *decode_video_inputs_i420(path, row.get("framerate")))
+            except Exception:
+                if ingest == "yuv":
+                    raise
         return decode_video_inputs(
-            spec.video_path(root, str(row["vid"])),
-            row.get("framerate"), row.get("width"), row.get("height"),
+            path, row.get("framerate"), row.get("width"), row.get("height"),
         )
 
     profile = contextlib.nullcontext()
@@ -166,7 +176,13 @@ def cmd_extract(args):
     with profile, cf.ThreadPoolExecutor(max_workers=args.decode_workers) as pool:
         futures = [pool.submit(decode, row) for _, row in todo]
         for (i, row), fut in zip(todo, futures):
-            frames, prev, nxt = fut.result()
+            res = fut.result()
+            if isinstance(res[0], str) and res[0] == "i420":
+                _, fbuf, nbuf, h, w = res
+                pending.append((i, extractor.video_feature_async_i420(fbuf, nbuf, h, w)))
+                drain(args.dispatch_ahead)
+                continue
+            frames, prev, nxt = res
             if args.mode == "full":
                 # async dispatch: decode || transfer || compute pipelining
                 pending.append((i, extractor.video_feature_async(frames, prev, nxt)))
@@ -523,6 +539,9 @@ def build_parser():
     sp.add_argument("--decode-workers", type=int, default=4)
     sp.add_argument("--dispatch-ahead", type=int, default=2)
     sp.add_argument("--profile-dir", default=None, help="jax profiler trace dir")
+    sp.add_argument("--ingest", default="bgr", choices=["bgr", "yuv", "auto"],
+                    help="yuv: decoder-native I420 upload + device colorspace "
+                    "(mode=full only); bgr: host conversion (parity default)")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_extract)
     subparser_map = {"extract": sp}

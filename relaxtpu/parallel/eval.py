@@ -94,7 +94,10 @@ class ShardedVideoEvaluator:
     ) -> list[np.ndarray]:
         """Pipeline: host decode threads feed the device; results in order.
 
-        ``decode_fn(video) -> (frames, prev, nxt)``.
+        ``decode_fn(video) -> (frames, prev, nxt)`` BGR arrays, or the
+        YUV-ingest form ``("i420", frames_i420, next_i420, h, w)``
+        (``relaxtpu.io.video.decode_video_inputs_i420``) — half the
+        host->device bytes, single-buffer uploads.
         """
         out: list[np.ndarray] = []
         with cf.ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
@@ -110,9 +113,17 @@ class ShardedVideoEvaluator:
                         on_result(i, vec)
 
             for i, fut in enumerate(futures):
-                frames, prev, nxt = fut.result()
-                pending.append((i, self.fx.video_feature_async(frames, prev, nxt)))
+                res = fut.result()
+                if isinstance(res[0], str) and res[0] == "i420":
+                    _, fbuf, nbuf, h, w = res
+                    dev = self.fx.video_feature_async_i420(fbuf, nbuf, h, w)
+                    n_frames, n_pairs = len(fbuf), len(nbuf)
+                else:
+                    frames, prev, nxt = res
+                    dev = self.fx.video_feature_async(frames, prev, nxt)
+                    n_frames, n_pairs = len(frames), len(prev)
+                pending.append((i, dev))
                 drain(2)  # keep <=3 videos in flight: decode || transfer || compute
-                log.debug("video %d dispatched (%d frames, %d pairs)", i, len(frames), len(prev))
+                log.debug("video %d dispatched (%d frames, %d pairs)", i, n_frames, n_pairs)
             drain(0)
         return out

@@ -202,3 +202,19 @@ def test_vit_stats_reduce_consistent():
         [tokens.mean(axis=1), tokens.max(axis=1), tokens.std(axis=1)], axis=-1
     )
     np.testing.assert_allclose(stats, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_vit_parity_full_depth():
+    """Full 12-block DINO-arch parity in f32 — catches accumulation drift the
+    depth-4 layout test cannot (VERDICT r1: run the real depth at least once)."""
+    torch.manual_seed(3)
+    oracle = TorchViT(depth=12).eval()
+    with torch.no_grad():
+        x = torch.randn(1, 3, 224, 224)
+        want = oracle(x).numpy()
+
+    variables = port_torch_vit(oracle.state_dict(), depth=12)
+    model = ViT(depth=12)
+    got = model.apply(variables, jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), reduce=None)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=5e-4)

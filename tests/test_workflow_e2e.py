@@ -103,3 +103,38 @@ def test_extract_train_predict_workflow(tmp_path, rng, capsys):
     out = capsys.readouterr().out.strip().splitlines()
     pred = json.loads(out[-1])
     assert "predicted_mos" in pred and np.isfinite(pred["predicted_mos"])
+
+
+@pytest.mark.slow
+def test_extract_yuv_ingest_consistent(tmp_path, rng, capsys):
+    """extract --ingest yuv ~= --ingest bgr (frames differ only by the sws
+    vs closed-form colorspace rounding, <=3 LSB)."""
+    from relaxtpu.cli.__main__ import main
+    from relaxtpu.io import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+
+    data_root = tmp_path / "konvid"
+    (data_root / "KoNViD_1k_videos").mkdir(parents=True)
+    _write_video(str(data_root / "KoNViD_1k_videos" / "1000.mp4"), rng)
+    meta = pd.DataFrame(
+        {"vid": ["1000"], "mos": [3.0], "framerate": 24.0,
+         "width": 128, "height": 96, "pixfmt": "yuv420p"}
+    )
+    meta_csv = str(tmp_path / "meta.csv")
+    meta.to_csv(meta_csv, index=False)
+
+    feats = {}
+    for ingest in ("bgr", "yuv"):
+        out = str(tmp_path / f"f_{ingest}")
+        main([
+            "extract", "--dataset", "konvid_1k", "--root", str(data_root),
+            "--metadata-csv", meta_csv, "--output", out, "--ingest", ingest,
+        ])
+        capsys.readouterr()
+        feats[ingest] = np.load(os.path.join(out, "konvid_1k_features.npy"))
+    a, b = feats["bgr"][0], feats["yuv"][0]
+    assert a.shape == b.shape == (35203,)
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.995, cos
