@@ -170,24 +170,44 @@ def _warp_kernel(xi_ref, yi_ref, tx_ref, ty_ref, planes_hbm, out_ref, win, sem):
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (k, _CB), 0)
 
     dma.wait()
+    # Exact-bf16 4-pass decomposition (Mosaic's f32 dot is a 6-pass; it has
+    # no 3-pass option).  The one-hot matrix E0 = [u == xi] is bf16-EXACT;
+    # the x-interpolation factors out of the matmul column-wise
+    # (G = G0 + tx*(G1 - G0)); G1's one-hot at xi+1 is G0's applied to a
+    # lane-shifted window; and the f32 window splits exactly into a bf16
+    # hi/lo pair.  Stacking [hi; lo; hi_s; lo_s] for all planes makes the
+    # whole thing ONE default-precision bf16 matmul per output row, with
+    # every contraction having exactly one nonzero product — no rounding
+    # beyond the hi/lo split (~2^-16 relative).
+    w32 = win[:]  # (C, K, CBh) f32
+    w32s = jnp.concatenate([w32[:, :, 1:], w32[:, :, -1:]], axis=-1)
+    hi = w32.astype(jnp.bfloat16)
+    lo = (w32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    his = w32s.astype(jnp.bfloat16)
+    los = (w32s - his.astype(jnp.float32)).astype(jnp.bfloat16)
+    stacked = jnp.concatenate(
+        [hi.reshape(c * k, cbh), lo.reshape(c * k, cbh),
+         his.reshape(c * k, cbh), los.reshape(c * k, cbh)], axis=0
+    )  # (4*C*K, CBh) bf16
+
     for i in range(_B):  # static unroll over the 8 output rows
         xi_loc = jnp.clip(xi_ref[i : i + 1, :] - cstart, 0, cbh - 2)  # (1, CB)
         txr = tx_ref[i : i + 1, :]
-        m = jnp.where(u_iota == xi_loc, 1.0 - txr, 0.0) + jnp.where(
-            u_iota == xi_loc + 1, txr, 0.0
-        )  # (CBh, CB)
+        e0 = jnp.where(u_iota == xi_loc, 1.0, 0.0).astype(jnp.bfloat16)
+        o4 = jax.lax.dot_general(
+            stacked, e0, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(4, c, k, _CB)
+        g0 = o4[0] + o4[1]
+        g1 = o4[2] + o4[3]
+        g = g0 + txr * (g1 - g0)  # (C, K, CB)
+
         yl = jnp.clip(yi_ref[i : i + 1, :] - wstart, 0, k - 2)  # (1, CB)
         tyr = ty_ref[i : i + 1, :]
         wv = jnp.where(r_iota == yl, 1.0 - tyr, 0.0) + jnp.where(
             r_iota == yl + 1, tyr, 0.0
         )  # (K, CB)
-        for p in range(c):  # static unroll over planes
-            g = jax.lax.dot_general(
-                win[p], m, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )  # (K, CB) — horizontally aligned+interpolated window rows
-            out_ref[p, i, :] = jnp.sum(g * wv, axis=0)
+        out_ref[:, i, :] = jnp.sum(g * wv[None], axis=1)
 
 
 def warp_planes_banded_pallas(
@@ -281,8 +301,13 @@ def warp_planes_banded(
     window: int = 72,
     precision=jax.lax.Precision.HIGH,
 ) -> jax.Array:
-    """Banded bilinear warp — fused Pallas kernel when the backend supports
-    it, XLA scan formulation otherwise (CPU tests, interpret-less backends)."""
-    if planes.shape[1] >= 2 * _B and pallas_available():
-        return warp_planes_banded_pallas(planes, flow, window=window)
+    """Banded bilinear warp — XLA scan formulation.
+
+    The fused Pallas kernel above compiles and matches, but measures SLOWER
+    on v5e (4.7ms vs 3.4ms per 540p call): its per-output-row (1440,384)x
+    (384,128) dots pipeline worse than XLA's batched einsum, its window DMA
+    is not double-buffered, and Mosaic compiles take minutes per shape.  XLA
+    wins until those change, so it is the only dispatch target; the kernel
+    stays as the measured alternative (interpret-validated in tests).
+    """
     return warp_planes_banded_xla(planes, flow, band=band, window=window, precision=precision)
