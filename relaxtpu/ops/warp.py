@@ -22,7 +22,10 @@ This module reformulates the warp so the hot step runs on the MXU:
   ``M[u, j] = (1-tx_j)*[u == xi_j] + tx_j*[u == xi_j + 1]`` — a banded
   one-hot matrix with the x-interpolation folded in.  Each output element has
   exactly one or two nonzero contraction terms, so there is no accumulation
-  error; operand rounding is controlled by ``precision``.
+  error; operand rounding is controlled by ``precision``.  DEFAULT (1-pass
+  bf16 on TPU) is the default: measured flow error vs cv2 is ~2e-4 px mean
+  (150x under the 0.05 px parity tolerance; HIGH reaches ~1e-6 at 3x the
+  matmul cost) — pass HIGH/HIGHEST for strict work.
 - Vertical interpolation is a 2-tap one-hot mask reduce over the K window
   rows (VPU, negligible cost).
 
@@ -49,7 +52,7 @@ def warp_planes_banded_xla(
     flow: jax.Array,
     band: int = 32,
     window: int = 72,
-    precision=jax.lax.Precision.HIGH,
+    precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:
     """Bilinear-warp ``planes`` (C, H, W) by ``flow`` (2, H, W) -> (C, H, W).
 
@@ -299,7 +302,7 @@ def warp_planes_banded(
     flow: jax.Array,
     band: int = 32,
     window: int = 72,
-    precision=jax.lax.Precision.HIGH,
+    precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:
     """Banded bilinear warp — XLA scan formulation.
 

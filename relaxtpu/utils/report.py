@@ -70,3 +70,63 @@ REFERENCE_FINETUNED = {
     "live_vqc": {"SRCC": 0.8468, "KRCC": 0.6649, "PLCC": 0.8876, "RMSE": 7.9869},
     "youtube_ugc": {"SRCC": 0.8469, "KRCC": 0.6623, "PLCC": 0.8652, "RMSE": 0.3437},
 }
+
+
+def parse_training_log(text: str) -> dict:
+    """Parse a reference-format training log into metric blocks.
+
+    The reference's logs (``reported_results/*_{svr,mlp}.log``, parsed by
+    ``reported_result.ipynb``) end with::
+
+        Average training results among all repeated 80-20 holdouts:
+        SRCC Train: <v> (std: <v>)
+        ...
+        Average testing results among all repeated 80-20 holdouts:
+        SRCC Test: <v> (std: <v>)
+        ...
+
+    Returns {"train": {metric: (value, std)}, "test": {...}} with whatever
+    blocks are present (competitor SVR logs and our own logs share the
+    format).
+    """
+    import re
+
+    out: dict = {"train": {}, "test": {}}
+    for m in re.finditer(
+        r"(SRCC|KRCC|PLCC|RMSE)\s+(Train|Test):\s*([-\d.eE]+)\s*\(std:\s*([-\d.eE]+)\)",
+        text,
+    ):
+        metric, split, val, std = m.groups()
+        out[split.lower()][metric] = (float(val), float(std))
+    # median block variants ("Median SRCC: <v>")
+    for m in re.finditer(r"Median\s+(SRCC|KRCC|PLCC|RMSE):\s*([-\d.eE]+)", text):
+        out.setdefault("median", {})[m.group(1)] = float(m.group(2))
+    return out
+
+
+def competitor_table(log_paths: dict[str, dict[str, str]]) -> pd.DataFrame:
+    """{method: {dataset: log_path}} -> comparison rows from reference-format
+    logs (BRISQUE/TLVQM/VIDEVAL/RAPIQUE/V-BLIINDS SVR logs and relaxvqa MLP
+    logs all share the block format)."""
+    rows = []
+    for method, per_ds in log_paths.items():
+        for ds, path in per_ds.items():
+            with open(path) as f:
+                parsed = parse_training_log(f.read())
+            row = {"method": method, "dataset": ds}
+            row.update({k: v[0] for k, v in parsed.get("test", {}).items()})
+            rows.append(row)
+    return pd.DataFrame(rows).sort_values(["dataset", "method"]).reset_index(drop=True)
+
+
+def parse_vsfa_npy(path: str) -> dict:
+    """VSFA result ``.npy`` (object array: y_pred, y_test, loss, SRCC, KRCC,
+    PLCC, RMSE, test_index — ``reported_results/VSFA-*.npy``) -> metrics."""
+    d = np.load(path, allow_pickle=True)
+    return {
+        "SRCC": float(d[3]),
+        "KRCC": float(d[4]),
+        "PLCC": float(d[5]),
+        "RMSE": float(d[6]),
+        "n_test": int(len(d[1])),
+    }

@@ -116,3 +116,63 @@ def test_split_cross_dataset_mos_map(rng):
     x1, y1, x2, y2, vids = split_cross_dataset(tr, te, xtr, xte, "youtube_ugc", "cvd_2014")
     np.testing.assert_allclose(y1, [1.0, 100.0])  # 1-5 -> 1-100
     np.testing.assert_allclose(y2, [50.0])  # cvd stays raw
+
+
+def test_parse_training_log_blocks():
+    from relaxtpu.utils.report import parse_training_log
+
+    text = (
+        "some preamble\n"
+        "Median RMSE: 0.4719\n"
+        "======\n"
+        "Average training results among all repeated 80-20 holdouts:\n"
+        "SRCC Train: 0.7068 (std: 0.0212)\n"
+        "KRCC Train: 0.5207 (std: 0.0217)\n"
+        "PLCC Train: 0.7107 (std: 0.0221)\n"
+        "RMSE Train: 0.4503 (std: 0.0147)\n"
+        "======\n"
+        "Average testing results among all repeated 80-20 holdouts:\n"
+        "SRCC Test: 0.6781 (std: 0.0083)\n"
+        "KRCC Test: 0.4935 (std: 0.0091)\n"
+        "PLCC Test: 0.6746 (std: 0.0069)\n"
+        "RMSE Test: 0.4753 (std: 0.0040)\n"
+    )
+    p = parse_training_log(text)
+    assert p["test"]["SRCC"] == (0.6781, 0.0083)
+    assert p["train"]["RMSE"][0] == 0.4503
+    assert p["median"]["RMSE"] == 0.4719
+
+
+def test_competitor_table_and_reference_logs(tmp_path):
+    """Round-trip via files; also parse a real reference log when present."""
+    import os
+
+    from relaxtpu.utils.report import competitor_table, parse_training_log
+
+    log = tmp_path / "toy_svr.log"
+    log.write_text(
+        "Average testing results among all repeated 80-20 holdouts:\n"
+        "SRCC Test: 0.5 (std: 0.01)\nRMSE Test: 0.9 (std: 0.02)\n"
+    )
+    df = competitor_table({"brisque": {"toy": str(log)}})
+    assert df.loc[0, "SRCC"] == 0.5 and df.loc[0, "RMSE"] == 0.9
+
+    ref = "/root/reference/reported_results/konvid_1k_brisque_svr.log"
+    if os.path.exists(ref):
+        with open(ref) as f:
+            parsed = parse_training_log(f.read())
+        assert 0.5 < parsed["test"]["SRCC"][0] < 0.9  # BRISQUE-on-KoNViD range
+
+
+def test_parse_vsfa_npy_real():
+    import os
+
+    from relaxtpu.utils.report import parse_vsfa_npy
+
+    path = "/root/reference/reported_results/VSFA-KoNViD_1k-EXP0.npy"
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference VSFA npy not mounted")
+    m = parse_vsfa_npy(path)
+    assert 0.5 < m["SRCC"] < 1.0 and m["n_test"] > 100
