@@ -37,7 +37,7 @@ import numpy as np
 N_FRAMES = 16
 N_PAIRS = 16
 H, W = 540, 960
-N_VIDEOS = 8  # timed videos after warmup
+N_VIDEOS = 12  # timed videos after warmup
 IN_FLIGHT = 3  # videos enqueued ahead (hides host->device transfer)
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
@@ -108,6 +108,8 @@ def measure_tpu_batched(fx, videos, batch: int = 4) -> float:
     from relaxtpu.ops.colorspace import pack_i420
 
     packed = [(pack_i420(*v[3]), pack_i420(*v[4])) for v in videos]
+    packed = packed[: len(packed) // batch * batch]  # full groups only — a
+    # ragged tail group would compile a second program shape mid-timing
     h, w = videos[0][0].shape[1:3]
     grp = lambda lst: [lst[i : i + batch] for i in range(0, len(lst), batch)]
     groups = grp(packed)
@@ -127,7 +129,7 @@ def measure_tpu_batched(fx, videos, batch: int = 4) -> float:
     for p in pending:
         np.asarray(p)
     dt = time.perf_counter() - t0
-    return (len(videos) - len(groups[0])) / dt
+    return (len(packed) - len(groups[0])) / dt
 
 
 def measure_reference_torch_cv2(video) -> float:
