@@ -13,8 +13,16 @@ from relaxtpu.ops.fragments import (
     fragment_pair,
     merge_fragments,
 )
-from relaxtpu.ops.colorspace import bgr_to_gray, flow_to_bgr, hsv_to_bgr_u8
+from relaxtpu.ops.colorspace import (
+    bgr_to_gray,
+    flow_to_bgr,
+    hsv_to_bgr_u8,
+    pack_i420,
+    unpack_i420,
+    yuv420_to_bgr,
+)
 from relaxtpu.ops.flow import farneback_flow
+from relaxtpu.ops.warp import warp_planes_banded
 
 __all__ = [
     "absdiff",
@@ -27,4 +35,8 @@ __all__ = [
     "flow_to_bgr",
     "hsv_to_bgr_u8",
     "farneback_flow",
+    "yuv420_to_bgr",
+    "pack_i420",
+    "unpack_i420",
+    "warp_planes_banded",
 ]
