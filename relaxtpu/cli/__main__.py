@@ -73,6 +73,98 @@ def cmd_predict(args):
     print(json.dumps({"video": args.video, "predicted_mos": mos}))
 
 
+def cmd_predict_batch(args):
+    """Serving mode: MOS for every video in a directory/list, batched.
+
+    Decode runs on host threads; same-resolution videos go through the
+    batched multi-video device program (``video_features_batch_i420``) when
+    YUV ingest applies, otherwise through the async streaming path.  Output:
+    one JSON line per video plus an optional CSV (reference
+    ``log/predict_score/*.csv`` shape: video, predicted MOS).
+    """
+    import concurrent.futures as cf
+    import glob
+    import os
+
+    from relaxtpu.model.mlp import port_torch_mlp
+    from relaxtpu.model.scalers import FeatureScaler
+    from relaxtpu.predict import VideoQualityPredictor
+
+    paths = []
+    for v in args.videos:
+        if os.path.isdir(v):
+            for ext in ("*.mp4", "*.mkv", "*.avi", "*.webm"):
+                paths.extend(sorted(glob.glob(os.path.join(v, ext))))
+        else:
+            paths.append(v)
+    if not paths:
+        raise SystemExit("no videos found")
+
+    extractor = _build_extractor(args)
+    if args.model.endswith(".npz"):
+        from relaxtpu.utils.checkpoint import load_snapshot
+
+        snap = load_snapshot(args.model)
+        variables = {"params": snap.params, "batch_stats": snap.batch_stats}
+    else:
+        from relaxtpu.models.porters import load_torch_checkpoint
+
+        variables = port_torch_mlp(load_torch_checkpoint(args.model))
+    scaler = FeatureScaler.load_reference_pkls(args.imputer, args.scaler)
+    predictor = VideoQualityPredictor(
+        extractor, variables, scaler, video_type=args.video_type,
+        is_finetune=args.finetuned,
+    )
+
+    def decode(path):
+        if args.ingest in ("yuv", "auto") and not path.endswith(".yuv"):
+            try:
+                from relaxtpu.io.video import decode_video_inputs_i420
+
+                return ("i420", *decode_video_inputs_i420(path))
+            except Exception:
+                if args.ingest == "yuv":
+                    raise
+        from relaxtpu.io.video import decode_video_inputs
+
+        return decode_video_inputs(path)
+
+    rows = []
+    with cf.ThreadPoolExecutor(max_workers=args.decode_workers) as pool:
+        decoded = list(pool.map(decode, paths))
+    # group same-resolution i420 videos into device batches
+    groups: dict = {}
+    order = []
+    for path, res in zip(paths, decoded):
+        if isinstance(res[0], str) and res[0] == "i420":
+            key = (res[3], res[4])
+            groups.setdefault(key, []).append((path, res[1], res[2]))
+        else:
+            order.append((path, res))
+    for (h, w), items in groups.items():
+        for i in range(0, len(items), args.batch):
+            chunk = items[i : i + args.batch]
+            vecs = np.asarray(
+                extractor.video_features_batch_i420(
+                    [c[1] for c in chunk], [c[2] for c in chunk], h, w
+                )
+            )
+            for (path, _, _), vec in zip(chunk, vecs):
+                rows.append((path, predictor.predict_feature(vec)))
+    for path, (frames, prev, nxt) in order:
+        rows.append((path, predictor.predict_arrays(frames, prev, nxt)))
+
+    rows.sort(key=lambda r: paths.index(r[0]))
+    for path, mos in rows:
+        print(json.dumps({"video": path, "predicted_mos": mos}))
+    if args.output_csv:
+        import pandas as pd
+
+        pd.DataFrame(rows, columns=["video", "predicted_mos"]).to_csv(
+            args.output_csv, index=False
+        )
+
+
 def _extract_one(extractor, ablation, mode, network, layer, frames, prev, nxt):
     """Per-video features for one extraction mode.
 
@@ -511,6 +603,22 @@ def build_parser():
                     "(reference-decode parity)")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_predict)
+
+    sp = sub.add_parser("predict-batch", help="MOS for many videos, batched dispatch")
+    sp.add_argument("--videos", nargs="+", required=True,
+                    help="video files and/or directories")
+    sp.add_argument("--video-type", default="konvid_1k")
+    sp.add_argument("--model", required=True)
+    sp.add_argument("--imputer", required=True)
+    sp.add_argument("--scaler", required=True)
+    sp.add_argument("--finetuned", action="store_true")
+    sp.add_argument("--batch", type=int, default=4, help="videos per device dispatch")
+    sp.add_argument("--decode-workers", type=int, default=4)
+    sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
+    sp.add_argument("--output-csv", default=None,
+                    help="also write video,predicted_mos CSV (ref log/predict_score shape)")
+    add_backbone_flags(sp)
+    sp.set_defaults(fn=cmd_predict_batch)
 
     sp = sub.add_parser("extract")
     sp.add_argument("--dataset", required=True)

@@ -138,3 +138,50 @@ def test_extract_yuv_ingest_consistent(tmp_path, rng, capsys):
     assert a.shape == b.shape == (35203,)
     cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.995, cos
+
+
+@pytest.mark.slow
+def test_predict_batch_cli(tmp_path, rng, capsys):
+    """predict-batch: many videos -> per-video MOS lines + CSV, batched
+    grouping by resolution; values match single-video predict."""
+    import jax
+    import jax.numpy as jnp
+
+    from relaxtpu.cli.__main__ import main
+    from relaxtpu.model.mlp import Mlp
+    from relaxtpu.model.train import ModelSnapshot
+    from relaxtpu.utils.checkpoint import save_snapshot
+
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    for i in range(3):
+        _write_video(str(vdir / f"v{i}.mp4"), rng, n=24)
+
+    v = Mlp().init(jax.random.PRNGKey(0), jnp.zeros((2, 35203)), train=False)
+    model = str(tmp_path / "mlp.npz")
+    save_snapshot(model, ModelSnapshot(v["params"], v.get("batch_stats", {})))
+
+    ref_scaler = "/root/reference/model/scaler"
+    if not os.path.exists(f"{ref_scaler}/konvid_1k_imputer.pkl"):
+        pytest.skip("reference scaler pkls not mounted")
+    csv_out = str(tmp_path / "scores.csv")
+    main([
+        "predict-batch", "--videos", str(vdir), "--model", model,
+        "--imputer", f"{ref_scaler}/konvid_1k_imputer.pkl",
+        "--scaler", f"{ref_scaler}/konvid_1k_scaler.pkl",
+        "--output-csv", csv_out, "--batch", "2",
+    ])
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3 and all(np.isfinite(r["predicted_mos"]) for r in lines)
+    df = pd.read_csv(csv_out)
+    assert list(df.columns) == ["video", "predicted_mos"] and len(df) == 3
+
+    # single-video predict agrees with the batched value
+    main([
+        "predict", "--video", str(vdir / "v0.mp4"), "--model", model,
+        "--imputer", f"{ref_scaler}/konvid_1k_imputer.pkl",
+        "--scaler", f"{ref_scaler}/konvid_1k_scaler.pkl", "--ingest", "yuv",
+    ])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    batched = next(r for r in lines if r["video"].endswith("v0.mp4"))
+    assert abs(single["predicted_mos"] - batched["predicted_mos"]) < 1e-3
