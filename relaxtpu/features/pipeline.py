@@ -346,7 +346,9 @@ class FeatureExtractor:
         (pyramid expansions, normal-equation planes, scan-windowed matmul
         operands) — the 128-lane-padded gather operand of the old exact warp
         is gone.  Cap in-flight pairs at ~8.5 GB (16 GB v5e chip):
-        540p/1080p -> 16 (1080p empirically validated on chip), 4K -> 6."""
+        540p/1080p -> 16 (1080p empirically validated on chip), 4K -> 6
+        (16f+16p 4K video validated end-to-end on chip via the chunked
+        fallback, finite output, no OOM)."""
         per_pair = h * w * 4 * 40
         return max(1, min(16, int(8.5e9 // per_pair)))
 
