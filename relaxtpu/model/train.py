@@ -120,6 +120,7 @@ class MlpTrainer:
         self.tx = _make_tx(cfg)
         self._step = jax.jit(self._train_step)
         self._eval = jax.jit(self._eval_batch)
+        self._epoch = jax.jit(self._epoch_scan)
 
     # ----------------------------------------------------------- jitted fns
     def _train_step(self, params, batch_stats, opt_state, x, y, key):
@@ -145,6 +146,69 @@ class MlpTrainer:
         ).reshape(-1)
         loss = mae_and_rank_loss(out, y, self.cfg.l1_w, self.cfg.rank_w)
         return out, loss
+
+    def _epoch_scan(self, params, batch_stats, opt_state, xb_steps, yb_steps, keys):
+        """All full-size batches of one epoch as ONE device program.
+
+        A per-batch Python loop costs a dispatch round-trip plus a blocking
+        loss fetch per ~0.1 ms of math — on a tunneled TPU that is ~1000x
+        overhead.  Batches arrive PRE-PERMUTED as scan xs of shape
+        (n_steps, batch, dim): scan slices xs natively per iteration, whereas
+        gathering rows from the full feature matrix inside the body made XLA
+        treat the multi-GB matrix as a loop operand (measured ~1.5 s/step).
+        ``keys`` is the same per-step dropout key sequence as the loop this
+        replaces; semantics are step-for-step identical, including BN batch
+        statistics.  The ragged final batch (reference DataLoader keeps it)
+        runs as a separate ``_step`` call.
+        """
+
+        def body(carry, inp):
+            params, batch_stats, opt_state = carry
+            xb, yb, key = inp
+            params, batch_stats, opt_state, loss = self._train_step(
+                params, batch_stats, opt_state, xb, yb, key
+            )
+            return (params, batch_stats, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (xb_steps, yb_steps, keys)
+        )
+        return params, batch_stats, opt_state, losses
+
+    def train_epoch(self, params, batch_stats, opt_state, x_dev, y_dev, perm, key):
+        """One epoch over device-resident (x_dev, y_dev); returns the epoch's
+        summed loss*count as a host float plus the advanced carry/key.
+
+        The shuffle materializes one permuted copy of the fold on device
+        (a single row-gather per epoch, freed at the next epoch) so the scan
+        can consume contiguous slices."""
+        bs = self.cfg.batch_size
+        n = len(perm)
+        n_full = n // bs
+        keys = []
+        for _ in range(n_full + (1 if n % bs else 0)):
+            key, dk = jax.random.split(key)
+            keys.append(dk)
+        perm_dev = jnp.asarray(perm)
+        x_perm = x_dev[perm_dev]
+        y_perm = y_dev[perm_dev]
+        total = 0.0
+        if n_full:
+            d = x_dev.shape[1]
+            xb_steps = x_perm[: n_full * bs].reshape(n_full, bs, d)
+            yb_steps = y_perm[: n_full * bs].reshape(n_full, bs)
+            kstack = jnp.stack(keys[:n_full])
+            params, batch_stats, opt_state, losses = self._epoch(
+                params, batch_stats, opt_state, xb_steps, yb_steps, kstack
+            )
+            total += float(jnp.sum(losses)) * bs
+        if n % bs:
+            params, batch_stats, opt_state, loss = self._step(
+                params, batch_stats, opt_state,
+                x_perm[n_full * bs :], y_perm[n_full * bs :], keys[-1]
+            )
+            total += float(loss) * (n % bs)
+        return params, batch_stats, opt_state, total, key
 
     # ------------------------------------------------------------- utilities
     def init_variables(self, key) -> dict:
@@ -236,9 +300,18 @@ def train_and_evaluate(
     all_val_losses: list[list[float]] = []
     swa_start = int(cfg.epochs * cfg.swa_start_frac) if cfg.use_swa else cfg.epochs
 
+    # The feature matrix uploads ONCE (multi-GB at LSVQ scale; the transfer,
+    # not the math, dominates MLP training) — folds are device-side gathers.
+    x_all_dev = jnp.asarray(x_train, jnp.float32)
+    y_all_dev = jnp.asarray(y_train, jnp.float32)
+
     for fold, (tr_idx, val_idx) in enumerate(folds):
         x_tr, y_tr = x_train[tr_idx], y_train[tr_idx]
         x_val, y_val = x_train[val_idx], y_train[val_idx]
+        x_tr_dev = jnp.take(x_all_dev, jnp.asarray(tr_idx), axis=0)
+        y_tr_dev = jnp.take(y_all_dev, jnp.asarray(tr_idx), axis=0)
+        x_val_dev = jnp.take(x_all_dev, jnp.asarray(val_idx), axis=0)
+        y_val_dev = jnp.take(y_all_dev, jnp.asarray(val_idx), axis=0)
 
         key = jax.random.PRNGKey(rng.integers(0, 2**31 - 1))
         key, init_key = jax.random.split(key)
@@ -270,18 +343,12 @@ def train_and_evaluate(
                 lr = _swa_lr(cfg, lr_at_swa_start, epoch - swa_start)
             opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
 
-            # ---- one epoch
+            # ---- one epoch (device-side scan over batches; same shuffle,
+            # same per-step dropout key sequence as the loop it replaced)
             perm = rng.permutation(len(x_tr))
-            epoch_loss = 0.0
-            for i in range(0, len(x_tr), cfg.batch_size):
-                bidx = perm[i : i + cfg.batch_size]
-                xb = jnp.asarray(x_tr[bidx], jnp.float32)
-                yb = jnp.asarray(y_tr[bidx], jnp.float32)
-                key, dk = jax.random.split(key)
-                params, batch_stats, opt_state, loss = trainer._step(
-                    params, batch_stats, opt_state, xb, yb, dk
-                )
-                epoch_loss += float(loss) * len(bidx)
+            params, batch_stats, opt_state, epoch_loss, key = trainer.train_epoch(
+                params, batch_stats, opt_state, x_tr_dev, y_tr_dev, perm, key
+            )
             train_losses.append(epoch_loss / len(x_tr))
 
             # ---- SWA parameter averaging (equal average, ref :409-411)
@@ -301,7 +368,9 @@ def train_and_evaluate(
                 current = ModelSnapshot(swa_params, init_stats)
             else:
                 current = ModelSnapshot(params, batch_stats)
-            val_loss, y_val_pred = trainer.evaluate_loss(current, x_val, y_val, cfg.batch_size)
+            val_loss, y_val_pred = trainer.evaluate_loss(
+                current, x_val_dev, y_val_dev, cfg.batch_size
+            )
             val_losses.append(val_loss)
 
             try:
