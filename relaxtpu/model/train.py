@@ -241,20 +241,25 @@ class MlpTrainer:
 
     def update_bn(self, snapshot: ModelSnapshot, x: np.ndarray, rng: np.random.Generator) -> ModelSnapshot:
         """torch swa_utils.update_bn: reset buffers, cumulative average of
-        per-batch stats of the pre-BN activations (ref :454-459)."""
+        per-batch stats of the pre-BN activations (ref :454-459).
+
+        Runs on device (``x`` may be a device array — train_and_evaluate
+        passes the resident fold): the host-numpy version burned minutes of
+        single-core matmul per protocol while the chip idled.  The ragged
+        final batch keeps its own unbiased variance, matching torch."""
         if not self.cfg.use_bn:
             return snapshot
         idx = rng.permutation(len(x))
         fc1 = snapshot.params["fc1"]
+        bs = self.cfg.batch_size
+        x_dev = jnp.asarray(x, jnp.float32)
+        idx_dev = jnp.asarray(idx)
         mean_acc = None
         var_acc = None
         n_seen = 0
-        for i in range(0, len(x), self.cfg.batch_size):
-            xb = x[idx[i : i + self.cfg.batch_size]]
-            h = xb @ np.asarray(fc1["kernel"]) + np.asarray(fc1["bias"])
-            bmean = h.mean(axis=0)
-            n = len(h)
-            bvar = h.var(axis=0) * (n / max(n - 1, 1))
+        for i in range(0, len(x), bs):
+            xb = jnp.take(x_dev, idx_dev[i : i + bs], axis=0)
+            bmean, bvar = _bn_batch_stats(xb, fc1["kernel"], fc1["bias"])
             n_seen += 1
             if mean_acc is None:
                 mean_acc, var_acc = bmean, bvar
@@ -267,6 +272,16 @@ class MlpTrainer:
             "var": jnp.asarray(var_acc, jnp.float32),
         }
         return ModelSnapshot(params=snapshot.params, batch_stats=new_stats)
+
+
+@jax.jit
+def _bn_batch_stats(xb, kernel, bias):
+    """Pre-BN activation batch mean + unbiased variance (device-side)."""
+    h = xb @ kernel + bias
+    n = xb.shape[0]
+    bmean = h.mean(axis=0)
+    bvar = h.var(axis=0) * (n / max(n - 1, 1))
+    return bmean, bvar
 
 
 def _is_better(criteria: str, best: float, cur: float) -> bool:
@@ -414,7 +429,7 @@ def train_and_evaluate(
 
         # ---- SWA BN recalibration on this fold's train split (ref :454-459)
         if cfg.use_swa and best_snapshot is not None:
-            best_snapshot = trainer.update_bn(best_snapshot, x_tr, rng)
+            best_snapshot = trainer.update_bn(best_snapshot, x_tr_dev, rng)
 
         all_train_losses.append(train_losses)
         all_val_losses.append(val_losses)
