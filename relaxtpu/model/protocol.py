@@ -252,6 +252,8 @@ def _fine_tune_once(base, trainer: MlpTrainer, x_tr, y_tr, cfg: TrainConfig, see
     params = jax.tree.map(jnp.asarray, base.params)
     batch_stats = jax.tree.map(jnp.asarray, base.batch_stats)
     opt_state = trainer.tx.init(params)
+    x_tr_dev = jnp.asarray(x_tr, jnp.float32)
+    y_tr_dev = jnp.asarray(y_tr, jnp.float32)
     swa_start = int(cfg.epochs * cfg.swa_start_frac) if cfg.use_swa else cfg.epochs
     swa_params, swa_n = None, 0
     lr_at_swa_start = None
@@ -267,15 +269,11 @@ def _fine_tune_once(base, trainer: MlpTrainer, x_tr, y_tr, cfg: TrainConfig, see
             lr = _swa_lr(cfg, lr_at_swa_start, epoch - swa_start)
         opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
         perm = rng.permutation(len(x_tr))
-        for i in range(0, len(x_tr), cfg.batch_size):
-            bidx = perm[i : i + cfg.batch_size]
-            key, dk = jax.random.split(key)
-            params, batch_stats, opt_state, _ = trainer._step(
-                params, batch_stats, opt_state,
-                jnp.asarray(x_tr[bidx], jnp.float32),
-                jnp.asarray(y_tr[bidx], jnp.float32),
-                dk,
-            )
+        # on-device epoch scan (same shuffle + dropout key sequence as the
+        # per-batch loop it replaces — see MlpTrainer.train_epoch)
+        params, batch_stats, opt_state, _, key = trainer.train_epoch(
+            params, batch_stats, opt_state, x_tr_dev, y_tr_dev, perm, key
+        )
         if cfg.use_swa and epoch >= swa_start:
             if swa_params is None:
                 swa_params, swa_n = jax.tree.map(lambda p: p, params), 1
@@ -285,5 +283,5 @@ def _fine_tune_once(base, trainer: MlpTrainer, x_tr, y_tr, cfg: TrainConfig, see
 
     snap = ModelSnapshot(swa_params if swa_params is not None else params, batch_stats)
     if cfg.use_swa:
-        snap = trainer.update_bn(snap, x_tr, rng)
+        snap = trainer.update_bn(snap, x_tr_dev, rng)
     return snap
