@@ -563,7 +563,7 @@ def _apply_config(argv, subparsers) -> str | None:
         output=ex.output_dir, resnet_weights=ex.resnet_weights,
         vit_weights=ex.vit_weights, bf16=(ex.backbone_dtype == "bfloat16"),
         decode_workers=rt.decode_workers, dispatch_ahead=rt.dispatch_ahead,
-        profile_dir=rt.profile_dir,
+        profile_dir=rt.profile_dir, ingest=ex.ingest,
     )
     set_defaults(
         subparsers["train"],

@@ -25,6 +25,7 @@ class ExtractConfig:
     resnet_weights: str | None = None
     vit_weights: str | None = None
     frame_bucket: int = 8  # shape-bucketing granularity for padded batches
+    ingest: str = "bgr"  # 'yuv' = decoder-native I420 upload + device colorspace
 
 
 @dataclasses.dataclass

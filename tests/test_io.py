@@ -201,3 +201,47 @@ def test_native_yuv_decode_close_to_bgr_decode(tmp_path, rng):
     assert d.max() <= 3, d.max()
     assert d.mean() < 1.5, d.mean()
     assert (d > 2).mean() < 0.02
+
+
+def test_native_decoder_garbage_file(tmp_path):
+    """Garbage bytes -> clean FileNotFoundError, not a crash/hang."""
+    from relaxtpu.io import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    p = tmp_path / "garbage.mp4"
+    p.write_bytes(b"\x00\x01\x02 not a video " * 1000)
+    with pytest.raises(FileNotFoundError):
+        native.NativeDecoder(str(p))
+
+
+def test_native_decoder_truncated_stream(tmp_path, rng):
+    """Truncated container: decoder returns the frames it could decode."""
+    cv2 = pytest.importorskip("cv2")
+    from relaxtpu.io import native
+
+    if not native.available():
+        pytest.skip("native decoder not built")
+    p = str(tmp_path / "clip.mp4")
+    w, h = 128, 96
+    vw = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 24, (w, h))
+    for i in range(24):
+        vw.write(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+    vw.release()
+    data = open(p, "rb").read()
+    # mp4 from cv2 keeps the moov atom at the end; cut mdat mid-way instead
+    cut = str(tmp_path / "cut.mp4")
+    open(cut, "wb").write(data[: int(len(data) * 0.6)])
+    try:
+        with native.NativeDecoder(cut) as dec:
+            frames = dec.decode_selected(list(range(0, 24, 4)))
+            assert len(frames) <= 6  # decoded what it could, no crash
+    except FileNotFoundError:
+        pass  # unparseable truncation is also acceptable
+
+
+def test_decode_video_inputs_missing_file():
+    from relaxtpu.io.video import decode_video_inputs
+
+    with pytest.raises(FileNotFoundError):
+        decode_video_inputs("/nonexistent/path/video.mp4")
