@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 import sys
 
 import numpy as np
@@ -468,8 +469,13 @@ def cmd_visualize(args):
     )
     patch_att = cls_patch_attention(attn).reshape(-1)
     overlay = map_attention_to_original(prev, patch_att, positions)
-    cv2.imwrite(args.output, overlay)
-    print(json.dumps({"overlay": args.output, "n_patches": len(positions)}))
+    out = args.output
+    if not os.path.splitext(out)[1]:  # bare name/dir -> a PNG inside it
+        out = os.path.join(out, "attention_overlay.png")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    if not cv2.imwrite(out, overlay):
+        raise SystemExit(f"could not write overlay image: {out}")
+    print(json.dumps({"overlay": out, "n_patches": len(positions)}))
 
 
 def cmd_parity(args):
