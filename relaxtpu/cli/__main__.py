@@ -74,6 +74,34 @@ def cmd_predict(args):
     print(json.dumps({"video": args.video, "predicted_mos": mos}))
 
 
+def cmd_warmup(args):
+    """Pre-compile the video programs for the given resolutions into the
+    persistent compilation cache, so production predict/extract runs start
+    at full speed (a cold compile costs minutes per resolution on remote
+    compile services).  Resolutions as HxW strings, e.g. 540x960.
+    """
+    import jax.numpy as jnp
+
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+    extractor = _build_extractor(args)
+    bucket = args.bucket
+    for res in args.resolutions:
+        h, w = (int(v) for v in res.lower().split("x"))
+        rng = np.random.default_rng(0)
+        frames = rng.integers(0, 256, (bucket, h, w, 3), dtype=np.uint8)
+        nxt = rng.integers(0, 256, (bucket, h, w, 3), dtype=np.uint8)
+        t0 = __import__("time").perf_counter()
+        if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
+            fbuf = pack_i420(*bgr_to_yuv420(frames))
+            nbuf = pack_i420(*bgr_to_yuv420(nxt))
+            np.asarray(extractor.video_feature_async_i420(fbuf, nbuf, h, w, bucket=bucket))
+        if args.ingest in ("bgr", "auto"):
+            np.asarray(extractor.video_feature_async(frames, frames[: len(nxt)], nxt, bucket=bucket))
+        dt = __import__("time").perf_counter() - t0
+        print(json.dumps({"resolution": res, "bucket": bucket, "compile_s": round(dt, 1)}))
+
+
 def cmd_predict_batch(args):
     """Serving mode: MOS for every video in a directory/list, batched.
 
@@ -740,6 +768,14 @@ def build_parser():
     sp.add_argument("--expected-mos", type=float, default=None)
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_parity)
+
+    sp = sub.add_parser("warmup", help="pre-compile video programs for resolutions")
+    sp.add_argument("--resolutions", nargs="+", default=["540x960", "1080x1920"],
+                    help="HxW list, e.g. 540x960 720x1280")
+    sp.add_argument("--bucket", type=int, default=8, help="frame-count bucket")
+    sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
+    add_backbone_flags(sp)
+    sp.set_defaults(fn=cmd_warmup)
 
     sp = sub.add_parser("metadata")
     sp.add_argument("--video-dir", required=True)
