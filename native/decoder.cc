@@ -181,15 +181,20 @@ int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
   int64_t count = 0;   // decode-order frame counter
   int64_t next_i = 0;  // position in the index list
   int64_t written = 0;
+  bool failed = false;  // unconvertible pixel format (sws_getContext null)
   const int64_t frame_bytes = static_cast<int64_t>(d->height) * d->width * 3;
 
   auto handle_frame = [&](AVFrame* f) {
-    if (next_i < n && count == indices[next_i]) {
+    if (!failed && next_i < n && count == indices[next_i]) {
       if (!d->sws) {
         d->sws = sws_getContext(d->width, d->height,
                                 static_cast<AVPixelFormat>(f->format),
                                 d->width, d->height, AV_PIX_FMT_BGR24,
                                 SWS_BILINEAR, nullptr, nullptr, nullptr);
+      }
+      if (!d->sws) {  // exotic source format swscale cannot convert:
+        failed = true;  // fail cleanly instead of segfaulting in sws_scale
+        return;
       }
       uint8_t* dst[1] = {out + written * frame_bytes};
       int dst_stride[1] = {d->width * 3};
@@ -200,7 +205,7 @@ int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
     ++count;
   };
 
-  while (next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
+  while (!failed && next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
     if (pkt->stream_index == d->stream_index) {
       if (avcodec_send_packet(d->codec, pkt) >= 0) {
         while (avcodec_receive_frame(d->codec, frame) >= 0) {
@@ -212,13 +217,13 @@ int64_t relax_decode_selected(void* handle, const int64_t* indices, int64_t n,
   }
   // drain
   avcodec_send_packet(d->codec, nullptr);
-  while (next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
+  while (!failed && next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
     handle_frame(frame);
   }
 
   av_frame_free(&frame);
   av_packet_free(&pkt);
-  return written;
+  return failed ? -1 : written;
 }
 
 // Decode selected frames as frame-contiguous I420 (per frame: H*W luma then
@@ -239,13 +244,14 @@ int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t count = 0, next_i = 0, written = 0;
+  bool failed = false;  // unconvertible pixel format (sws_getContext null)
   const int cw = d->width / 2, ch = d->height / 2;
   const int64_t y_bytes = static_cast<int64_t>(d->height) * d->width;
   const int64_t c_bytes = static_cast<int64_t>(ch) * cw;
   const int64_t frame_bytes = y_bytes + 2 * c_bytes;
 
   auto handle_frame = [&](AVFrame* f) {
-    if (next_i < n && count == indices[next_i]) {
+    if (!failed && next_i < n && count == indices[next_i]) {
       auto src_fmt = static_cast<AVPixelFormat>(f->format);
       uint8_t* base = out + written * frame_bytes;
       uint8_t* dst[3] = {base, base + y_bytes, base + y_bytes + c_bytes};
@@ -265,6 +271,10 @@ int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
                                       d->height, AV_PIX_FMT_YUV420P,
                                       SWS_BILINEAR, nullptr, nullptr, nullptr);
         }
+        if (!d->sws_yuv) {  // fail cleanly: Python raises, caller falls back
+          failed = true;    // to BGR ingest instead of segfaulting here
+          return;
+        }
         sws_scale(d->sws_yuv, f->data, f->linesize, 0, d->height, dst, dst_stride);
       }
       ++written;
@@ -273,7 +283,7 @@ int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
     ++count;
   };
 
-  while (next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
+  while (!failed && next_i < n && av_read_frame(d->fmt, pkt) >= 0) {
     if (pkt->stream_index == d->stream_index) {
       if (avcodec_send_packet(d->codec, pkt) >= 0) {
         while (avcodec_receive_frame(d->codec, frame) >= 0) handle_frame(frame);
@@ -282,13 +292,13 @@ int64_t relax_decode_selected_yuv(void* handle, const int64_t* indices,
     av_packet_unref(pkt);
   }
   avcodec_send_packet(d->codec, nullptr);
-  while (next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
+  while (!failed && next_i < n && avcodec_receive_frame(d->codec, frame) >= 0) {
     handle_frame(frame);
   }
 
   av_frame_free(&frame);
   av_packet_free(&pkt);
-  return written;
+  return failed ? -1 : written;
 }
 
 void relax_close(void* handle) {

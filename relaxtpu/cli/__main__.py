@@ -79,27 +79,43 @@ def cmd_warmup(args):
     persistent compilation cache, so production predict/extract runs start
     at full speed (a cold compile costs minutes per resolution on remote
     compile services).  Resolutions as HxW strings, e.g. 540x960.
+
+    Real videos pad their frame/pair counts up to a multiple of ``--bucket``,
+    so each distinct padded count is its own program shape: ``--counts``
+    lists the padded counts to warm (default 8 16 32 covers clips up to ~16 s
+    at 30 fps; counts are rounded up to the bucket).
     """
-    import jax.numpy as jnp
+    import time
 
     from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
 
     extractor = _build_extractor(args)
     bucket = args.bucket
+    counts = sorted({-(-int(c) // bucket) * bucket for c in args.counts})
     for res in args.resolutions:
         h, w = (int(v) for v in res.lower().split("x"))
         rng = np.random.default_rng(0)
-        frames = rng.integers(0, 256, (bucket, h, w, 3), dtype=np.uint8)
-        nxt = rng.integers(0, 256, (bucket, h, w, 3), dtype=np.uint8)
-        t0 = __import__("time").perf_counter()
-        if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
-            fbuf = pack_i420(*bgr_to_yuv420(frames))
-            nbuf = pack_i420(*bgr_to_yuv420(nxt))
-            np.asarray(extractor.video_feature_async_i420(fbuf, nbuf, h, w, bucket=bucket))
-        if args.ingest in ("bgr", "auto"):
-            np.asarray(extractor.video_feature_async(frames, frames[: len(nxt)], nxt, bucket=bucket))
-        dt = __import__("time").perf_counter() - t0
-        print(json.dumps({"resolution": res, "bucket": bucket, "compile_s": round(dt, 1)}))
+        for count in counts:
+            frames = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
+            nxt = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
+            t0 = time.perf_counter()
+            if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
+                fbuf = pack_i420(*bgr_to_yuv420(frames))
+                nbuf = pack_i420(*bgr_to_yuv420(nxt))
+                np.asarray(
+                    extractor.video_feature_async_i420(fbuf, nbuf, h, w, bucket=bucket)
+                )
+            if args.ingest in ("bgr", "auto"):
+                np.asarray(
+                    extractor.video_feature_async(
+                        frames, frames[: len(nxt)], nxt, bucket=bucket
+                    )
+                )
+            dt = time.perf_counter() - t0
+            print(json.dumps({
+                "resolution": res, "frames": count, "bucket": bucket,
+                "compile_s": round(dt, 1),
+            }))
 
 
 def cmd_predict_batch(args):
@@ -183,7 +199,10 @@ def cmd_predict_batch(args):
     for path, (frames, prev, nxt) in order:
         rows.append((path, predictor.predict_arrays(frames, prev, nxt)))
 
-    rows.sort(key=lambda r: paths.index(r[0]))
+    order_of = {}
+    for i, p in enumerate(paths):
+        order_of.setdefault(p, i)
+    rows.sort(key=lambda r: order_of[r[0]])
     for path, mos in rows:
         print(json.dumps({"video": path, "predicted_mos": mos}))
     if args.output_csv:
@@ -281,7 +300,12 @@ def cmd_extract(args):
             try:
                 from relaxtpu.io.video import decode_video_inputs_i420
 
-                return ("i420", *decode_video_inputs_i420(path, row.get("framerate")))
+                return (
+                    "i420",
+                    *decode_video_inputs_i420(
+                        path, row.get("framerate"), row.get("width"), row.get("height")
+                    ),
+                )
             except Exception:
                 if ingest == "yuv":
                     raise
@@ -773,6 +797,8 @@ def build_parser():
     sp.add_argument("--resolutions", nargs="+", default=["540x960", "1080x1920"],
                     help="HxW list, e.g. 540x960 720x1280")
     sp.add_argument("--bucket", type=int, default=8, help="frame-count bucket")
+    sp.add_argument("--counts", nargs="+", type=int, default=[8, 16, 32],
+                    help="padded frame/pair counts to warm (rounded up to bucket)")
     sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_warmup)

@@ -138,6 +138,8 @@ class NativeDecoder:
             len(idx),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if n < 0:
+            raise ValueError("BGR decode failed (unconvertible pixel format)")
         return out[: int(n)]
 
     def decode_selected_i420(self, indices) -> np.ndarray:
@@ -160,7 +162,9 @@ class NativeDecoder:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if n < 0:
-            raise ValueError("YUV decode failed (odd dimensions?)")
+            raise ValueError(
+                "YUV decode failed (odd dimensions or unconvertible pixel format)"
+            )
         return out[: int(n)]
 
     def close(self):

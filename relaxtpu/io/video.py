@@ -268,6 +268,8 @@ def decode_video_inputs(
 def decode_video_inputs_i420(
     path: str,
     framerate: float | None = None,
+    width: int | None = None,
+    height: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int, int]:
     """(frames_i420, next_i420, h, w) packed plane buffers, one decode pass.
 
@@ -277,15 +279,31 @@ def decode_video_inputs_i420(
     The pairs' first frames are the sampled frames, so only these two stacks
     exist.  Requires the native decoder and even frame dimensions — callers
     fall back to :func:`decode_video_inputs` (BGR) otherwise.
+
+    ``width``/``height`` are metadata overrides: the container's geometry
+    must MATCH them (this path cannot rescale; a mismatch raises so callers
+    fall back to the BGR path, which honors overrides).
     """
     from relaxtpu.io import native
 
     if not native.available():
         raise RuntimeError("YUV ingest requires the native decoder (native/build.sh)")
-    if framerate is None:
-        framerate = probe_video(path)["framerate"]
-    interval = frame_interval_for(framerate)
     info = probe_video(path)
+    if framerate is None:
+        framerate = info["framerate"]
+    interval = frame_interval_for(framerate)
+
+    def _clean(v):  # pandas metadata rows may carry NaN for absent values
+        return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+    width, height = _clean(width), _clean(height)
+    if (width is not None and int(width) != info["width"]) or (
+        height is not None and int(height) != info["height"]
+    ):
+        raise ValueError(
+            f"metadata geometry {width}x{height} != decoded "
+            f"{info['width']}x{info['height']} for {path}"
+        )
     n = info["nb_frames"]
     firsts = sample_indices(n, interval)
     pairs = residual_pair_indices(n, interval)

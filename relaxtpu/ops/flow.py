@@ -275,7 +275,7 @@ def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
     return x
 
 
-def _update_flow(r0: jax.Array, r1: jax.Array, flow: jax.Array, m: jax.Array, winsize: int) -> jax.Array:
+def _update_flow(m: jax.Array, winsize: int) -> jax.Array:
     """Solve the box-averaged 2x2 system -> new planar flow (2, H, W)."""
     s = 1.0 / (winsize * winsize)
     mb = _box_blur(m, winsize) * s
@@ -350,7 +350,7 @@ def farneback_flow(
 
         m = _update_matrices(r0, r1, flow, warp)
         for i in range(iterations):
-            flow = _update_flow(r0, r1, flow, m, winsize)
+            flow = _update_flow(m, winsize)
             if i < iterations - 1:
                 m = _update_matrices(r0, r1, flow, warp)
     # planar (2, H, W) internally (clean TPU tiling); (H, W, 2) API

@@ -65,7 +65,7 @@ class VideoQualityPredictor:
             try:
                 from relaxtpu.io.video import decode_video_inputs_i420
 
-                fbuf, nbuf, h, w = decode_video_inputs_i420(path, framerate)
+                fbuf, nbuf, h, w = decode_video_inputs_i420(path, framerate, width, height)
                 log.info(
                     "decoded %d frames, %d pairs from %s (yuv ingest)",
                     len(fbuf), len(nbuf), path,
