@@ -214,9 +214,10 @@ def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array, warp: str) -
 
     r0/r1 are channel-planar (5, H, W); flow is planar (2, H, W).  ``warp``
     selects the bilinear warp implementation: 'banded' = one-hot MXU matmul
-    (``relaxtpu.ops.warp``, exact for |displacement| <= 32px, the dominant
-    cost of the whole flow computation), 'exact' = XLA gather (unbounded
-    displacements, ~6x slower on TPU).
+    (``relaxtpu.ops.warp``: |dx| <= 64 and any coherent dy exact — beyond
+    the ~52 px composite displacement these Farneback parameters can track;
+    the dominant cost of the whole flow computation), 'exact' = XLA gather
+    (unconditionally exact, ~6x slower on TPU).
     """
     h, w = flow.shape[1:]
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -309,8 +310,9 @@ def farneback_flow(
 ) -> jax.Array:
     """Dense flow (H, W, 2) float32 from two grayscale images (uint8 or float).
 
-    ``warp``: 'banded' (MXU one-hot warp, exact for displacements <= 32px per
-    level — the fast default) or 'exact' (XLA gather, unbounded).
+    ``warp``: 'banded' (MXU one-hot warp: exact for |dx| <= 64 px and any
+    coherent vertical motion — beyond what these parameters can track; the
+    fast default) or 'exact' (XLA gather, unconditionally exact, ~6x slower).
     """
     h, w = prev_gray.shape
     prev_f = prev_gray.astype(jnp.float32)

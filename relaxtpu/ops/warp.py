@@ -11,12 +11,18 @@ vregs along gather dimension").
 
 This module reformulates the warp so the hot step runs on the MXU:
 
-- Output rows are processed in blocks of 8.  Each block reads a K-row source
-  window centred on it, so any |dy| <= (K-8)//2 is exact.
-- Columns are processed in 128-lane blocks with a +-band halo, so any
-  |dx| <= band is exact.  Displacements beyond the band/window clamp to its
-  edge (real flows at these magnitudes are pyramid-upsampled garbage; the
-  exact-gather path remains available for strict parity).
+- Output rows are processed in blocks of 8, columns in 128-lane blocks.
+  Each row-block reads a K-row source window centred on the row-block's
+  MEAN vertical displacement (one shared traced offset — the row slice was
+  already a dynamic_slice, so this is free), making any coherent vertical
+  motion exact; rows deviating more than (K-8)//2 from the block mean clamp.
+  Columns use static slabs with a +-band halo: |dx| <= band is exact, and
+  the default band of 64 exceeds the ~52 px composite displacement that
+  Farneback with the reference parameters can track at all (the widening
+  from 32 costs ~12% on the MXU — measured 20.4 -> 23.0 ms per 16-pair 540p
+  call; per-column-block adaptive windows were measured 2x slower, 39.7 ms,
+  because ncb separate unaligned dynamic slices defeat XLA's copy fusion).
+  The exact-gather path remains available for strict parity.
 - Horizontal alignment of the whole window is ONE matmul per (row-block,
   col-block): ``G[r, j] = sum_u win[r, u] * M[u, j]`` where
   ``M[u, j] = (1-tx_j)*[u == xi_j] + tx_j*[u == xi_j + 1]`` — a banded
@@ -29,8 +35,9 @@ This module reformulates the warp so the hot step runs on the MXU:
 - Vertical interpolation is a 2-tap one-hot mask reduce over the K window
   rows (VPU, negligible cost).
 
-Cost at 540p (5 planes, K=72, band=32): ~38 G-MAC per warp call — ~1-2 ms on
-a v5e MXU vs ~35+ ms for the XLA gather it replaces.
+Cost at 540p (5 planes, K=72, band=64): ~50 G-MAC per warp call — measured
+23 ms per 16-pair batch on a tunneled v5e vs ~35+ ms for ONE XLA gather
+call it replaces.
 """
 
 from __future__ import annotations
@@ -50,7 +57,7 @@ _CB = 128  # output column-block (lane tile)
 def warp_planes_banded_xla(
     planes: jax.Array,
     flow: jax.Array,
-    band: int = 32,
+    band: int = 64,
     window: int = 72,
     precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:
@@ -58,9 +65,12 @@ def warp_planes_banded_xla(
 
     Matches ``planes[c, clip(y+dy), clip(x+dx)]`` bilinear sampling (corner
     indices clipped to [0, H-2] / [0, W-2] like the exact path) wherever
-    |dy| <= (window-8)//2 and |dx| <= band; beyond that the source index
-    clamps to the band edge.  Out-of-image samples are the caller's concern
-    (the Farneback update masks them via its ``inside`` test).
+    |dx| <= band AND dy is within (window-8)//2 of its row-block's mean
+    vertical displacement (the source row window is centred on that mean, so
+    coherent vertical motion of any magnitude is exact).  Beyond that the
+    source index clamps to the window edge.  Out-of-image samples are the
+    caller's concern (the Farneback update masks them via its ``inside``
+    test).
     """
     c, h, w = planes.shape
     k = max(_B, min(window, h))
@@ -89,8 +99,19 @@ def warp_planes_banded_xla(
 
     xi_b, yi_b, tx_b, ty_b = blocked(xi), blocked(yi), blocked(tx), blocked(ty)
 
-    # Static schedules: source row-window and column-slab starts.
-    wstarts = np.clip(np.arange(nb) * _B - margin, 0, h - k).astype(np.int32)
+    # Per-row-block mean vertical displacement (nb,): the row window is
+    # centred on it, so coherent vertical motion of any size stays exact.
+    # Edge-pad before reducing (zero padding would dilute edge-block means
+    # toward 0, eating the margin headroom).  One shared traced offset per
+    # row-block — per-column-block windows were measured 2x slower (ncb
+    # unaligned dynamic slices defeat XLA's copy fusion).
+    dy_pad = jnp.pad(jnp.nan_to_num(flow[1]), ((0, hp - h), (0, wp - w)), mode="edge")
+    dy_base = jnp.round(jnp.mean(dy_pad.reshape(nb, _B * wp), axis=1)).astype(jnp.int32)
+
+    # Static schedules: row starts UNCLIPPED (the dy base is added first and
+    # the sum clipped, so edge blocks keep their margin under displacement);
+    # column-slab starts static and pre-clipped.
+    wstarts = (np.arange(nb) * _B - margin).astype(np.int32)
     cstarts = np.clip(np.arange(ncb) * _CB - band, 0, wp - cbh)
 
     # Source padded to the slab grid; edge mode so band-clamped samples read
@@ -102,8 +123,9 @@ def warp_planes_banded_xla(
     cstart_arr = jnp.asarray(cstarts, jnp.int32)[None, :, None]
 
     def body(_, xs_blk):
-        wstart, xi_k, yi_k, tx_k, ty_k = xs_blk
-        win = jax.lax.dynamic_slice(planes_p, (0, wstart, 0), (c, k, wp))
+        wstart, xi_k, yi_k, tx_k, ty_k, dyb = xs_blk
+        rstart = jnp.clip(wstart + dyb, 0, h - k)
+        win = jax.lax.dynamic_slice(planes_p, (0, rstart, 0), (c, k, wp))
         win_c = jnp.stack(
             [jax.lax.slice(win, (0, 0, cs), (c, k, cs + cbh)) for cs in cstarts]
         )  # (ncb, C, K, CBh)
@@ -122,7 +144,7 @@ def warp_planes_banded_xla(
             preferred_element_type=jnp.float32,
         )  # (B, ncb, C, K, CB)
 
-        yl = jnp.clip(yi_k - wstart, 0, k - 2)[:, :, None, :]
+        yl = jnp.clip(yi_k - rstart, 0, k - 2)[:, :, None, :]
         tye = ty_k[:, :, None, :]
         wv = jnp.where(r_iota == yl, 1.0 - tye, 0.0) + jnp.where(
             r_iota == yl + 1, tye, 0.0
@@ -131,7 +153,8 @@ def warp_planes_banded_xla(
         return None, out
 
     _, rows = jax.lax.scan(
-        body, None, (jnp.asarray(wstarts), xi_b, yi_b, tx_b, ty_b)
+        body, None,
+        (jnp.asarray(wstarts), xi_b, yi_b, tx_b, ty_b, dy_base),
     )  # (nb, B, ncb, C, CB)
     out = rows.transpose(3, 0, 1, 2, 4).reshape(c, hp, wp)
     return out[:, :h, :w]
@@ -300,7 +323,7 @@ def pallas_available() -> bool:
 def warp_planes_banded(
     planes: jax.Array,
     flow: jax.Array,
-    band: int = 32,
+    band: int = 64,
     window: int = 72,
     precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:

@@ -59,6 +59,28 @@ def test_flow_matches_cv2_noisy_pair(rng):
     assert err.mean() < 0.05, err.mean()
 
 
+def test_flow_matches_cv2_fast_motion(rng):
+    """Fast pan (40 px/frame on a 240x320 frame — beyond the static +-32 warp
+    band): parity target is cv2's OUTPUT, whatever it is.  With the
+    reference's fixed parameters cv2 itself loses lock at this speed (its
+    per-level displacement estimate saturates near winsize/2; measured median
+    dx ~0.6 on this content), and we must reproduce that near-zero field, not
+    invent a different one.  The block-adaptive banded warp keeps the warp
+    exact for whatever intermediate flow values arise (see
+    test_warp.test_xla_banded_exact_for_large_uniform_motion for the
+    warp-level guarantee beyond the band).  Guards the ADVICE finding that
+    large displacements silently clamped to the band edge."""
+    big = textured(rng, 240 + 96, 320 + 96)
+    prev = np.clip(big[48 : 48 + 240, 48 : 48 + 320], 0, 255).astype(np.uint8)
+    nxt = np.clip(big[48 : 48 + 240, 8 : 8 + 320], 0, 255).astype(np.uint8)  # dx=+40
+    want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
+    s = 32
+    err = np.abs(got[s:-s, s:-s] - want[s:-s, s:-s])
+    assert err.mean() < 0.05, err.mean()
+    assert np.percentile(err, 99) < 0.3
+
+
 def test_flow_full_field_close_including_borders(rng):
     prev, nxt = shifted_pair(rng, 96, 128, dx=1, dy=0)
     want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)

@@ -51,6 +51,34 @@ def test_xla_banded_matches_oracle_in_band(rng, c, h, w):
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 
+def test_xla_banded_exact_for_large_uniform_motion(rng):
+    """Fast pan beyond the old +-32 band: dx within the widened 64-px static
+    band, dy beyond the 32-row margin but covered by the row-adaptive window
+    base (centred on each row-block's mean vertical displacement)."""
+    c, h, w = 5, 120, 320
+    planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
+    flow = np.empty((2, h, w), np.float32)
+    flow[0] = -55.3  # dx: fast left pan, inside the 64-px band (with jitter)
+    flow[1] = 47.8  # dy: beyond the (window-8)/2 = 32 row margin
+    flow += rng.normal(0, 2, flow.shape).astype(np.float32)  # local jitter
+    want = oracle(planes, flow)
+    got = np.asarray(warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+def test_xla_banded_exact_for_large_zoom(rng):
+    """Coherent spatially-varying motion (zoom: dy varies per row-block but
+    is constant within one, dx up to ~57 px at the edges): row bases track
+    the vertical part, the widened band covers the horizontal part."""
+    c, h, w = 3, 128, 256
+    planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    flow = np.stack([0.45 * (xs - w / 2), 0.9 * (ys - h / 2)])  # zoom-out field
+    want = oracle(planes, flow)
+    got = np.asarray(warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
 def test_out_of_image_is_finite_everywhere(rng):
     planes = rng.normal(0, 50, (5, 64, 128)).astype(np.float32)
     flow = rng.normal(0, 200, (2, 64, 128)).astype(np.float32)  # mostly outside
