@@ -174,6 +174,17 @@ def cmd_predict_batch(args):
 
         return decode_video_inputs(path)
 
+    evaluator = None
+    n_data = getattr(args, "n_data", None)
+    n_model = getattr(args, "n_model", 1) or 1
+    if ((n_data or 1) * n_model) > 1:
+        from relaxtpu.parallel.eval import ShardedVideoEvaluator
+        from relaxtpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data, n_model)
+        evaluator = ShardedVideoEvaluator(extractor, mesh)
+        logging.info("mesh serving: %s", dict(mesh.shape))
+
     rows = []
     with cf.ThreadPoolExecutor(max_workers=args.decode_workers) as pool:
         decoded = list(pool.map(decode, paths))
@@ -189,10 +200,13 @@ def cmd_predict_batch(args):
     for (h, w), items in groups.items():
         for i in range(0, len(items), args.batch):
             chunk = items[i : i + args.batch]
+            batch_fn = (
+                evaluator.videos_batch_feature_i420
+                if evaluator is not None
+                else extractor.video_features_batch_i420
+            )
             vecs = np.asarray(
-                extractor.video_features_batch_i420(
-                    [c[1] for c in chunk], [c[2] for c in chunk], h, w
-                )
+                batch_fn([c[1] for c in chunk], [c[2] for c in chunk], h, w)
             )
             for (path, _, _), vec in zip(chunk, vecs):
                 rows.append((path, predictor.predict_feature(vec)))
@@ -292,7 +306,7 @@ def cmd_extract(args):
             store.put(tag, j, np.asarray(dev))
             logging.info("extracted video %d [%d todo]", j + 1, len(pending))
 
-    ingest = getattr(args, "ingest", "bgr")
+    ingest = getattr(args, "ingest", "auto")
 
     def decode(row):
         path = spec.video_path(root, str(row["vid"]))
@@ -313,11 +327,49 @@ def cmd_extract(args):
             path, row.get("framerate"), row.get("width"), row.get("height"),
         )
 
+    mesh = None
+    n_data = getattr(args, "n_data", None)
+    n_model = getattr(args, "n_model", 1) or 1
+    if ((n_data or 1) * n_model) > 1:
+        if args.mode != "full":
+            logging.warning(
+                "--n-data/--n-model: mesh extraction supports --mode full only; "
+                "running single-device for mode=%s", args.mode,
+            )
+        else:
+            from relaxtpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_data, n_model)
+            logging.info("mesh extraction: %s", dict(mesh.shape))
+
     profile = contextlib.nullcontext()
     if getattr(args, "profile_dir", None):
         from relaxtpu.utils.profiling import trace_to
 
         profile = trace_to(args.profile_dir)
+    if mesh is not None:
+        from relaxtpu.parallel.eval import ShardedVideoEvaluator
+
+        evaluator = ShardedVideoEvaluator(
+            extractor, mesh, decode_workers=args.decode_workers
+        )
+        with profile:
+            vecs = evaluator.run(
+                [row for _, row in todo],
+                decode,
+                on_result=lambda j, v: logging.info("extracted video #%d", j + 1),
+            )
+        for (i, _), vec in zip(todo, vecs):
+            store.put(tag, i, vec)
+        mat = store.assemble(tag, len(df))
+        np.save(f"{args.output}/{tag}_features.npy", mat)
+        if args.save_mat:
+            store.save_mat(tag, len(df), args.save_mat, key=args.dataset)
+        print(json.dumps({
+            "dataset": args.dataset, "mode": args.mode, "shape": list(mat.shape),
+            "mesh": dict(mesh.shape),
+        }))
+        return
     with profile, cf.ThreadPoolExecutor(max_workers=args.decode_workers) as pool:
         futures = [pool.submit(decode, row) for _, row in todo]
         for (i, row), fut in zip(todo, futures):
@@ -533,6 +585,10 @@ def cmd_visualize(args):
 def cmd_parity(args):
     """Strict-parity readiness vs the reference's shipped artifacts
     (see relaxtpu/parity.py; runs the moment the blobs land)."""
+    if args.check in ("head", "demo") and not (
+        args.model and args.imputer and args.scaler
+    ):
+        raise SystemExit("--model/--imputer/--scaler are required for this check")
     if args.check == "head":
         from relaxtpu.parity import head_parity
 
@@ -543,6 +599,14 @@ def cmd_parity(args):
         )
         print(report.to_json())
         return 0 if report.ok else 1
+    if args.check == "features":
+        from relaxtpu.parity import feature_parity
+
+        out = feature_parity(
+            args.video, args.resnet_weights, args.vit_weights,
+        )
+        print(json.dumps(out, indent=2))
+        return 0 if out["ok"] else 1
     from relaxtpu.parity import demo_parity
 
     out = demo_parity(
@@ -615,13 +679,26 @@ def _apply_config(argv, subparsers) -> str | None:
             if a.required and a.dest in values and values[a.dest] is not None:
                 a.required = False
 
+    backbone = dict(
+        resnet_weights=ex.resnet_weights, vit_weights=ex.vit_weights,
+        bf16=(ex.backbone_dtype == "bfloat16"),
+    )
     set_defaults(
         subparsers["extract"],
         dataset=ex.dataset, root=ex.data_root, metadata_dir=ex.metadata_dir,
-        output=ex.output_dir, resnet_weights=ex.resnet_weights,
-        vit_weights=ex.vit_weights, bf16=(ex.backbone_dtype == "bfloat16"),
-        decode_workers=rt.decode_workers, dispatch_ahead=rt.dispatch_ahead,
-        profile_dir=rt.profile_dir, ingest=ex.ingest,
+        output=ex.output_dir, decode_workers=rt.decode_workers,
+        dispatch_ahead=rt.dispatch_ahead, profile_dir=rt.profile_dir,
+        ingest=ex.ingest, n_data=rt.n_data, n_model=rt.n_model, **backbone,
+    )
+    set_defaults(
+        subparsers["predict"],
+        video_type=ex.dataset, ingest=ex.ingest, **backbone,
+    )
+    set_defaults(
+        subparsers["predict-batch"],
+        video_type=ex.dataset, ingest=ex.ingest,
+        decode_workers=rt.decode_workers, n_data=rt.n_data, n_model=rt.n_model,
+        **backbone,
     )
     set_defaults(
         subparsers["train"],
@@ -630,6 +707,16 @@ def _apply_config(argv, subparsers) -> str | None:
         epochs=tr.epochs, lr=tr.initial_lr, weight_decay=tr.weight_decay,
         select_criteria=tr.select_criteria, no_bn=not tr.use_bn,
         no_kfold=not tr.kfold,
+    )
+    set_defaults(
+        subparsers["train-lsvq"],
+        epochs=tr.epochs, batch_size=tr.batch_size, lr=tr.initial_lr,
+        weight_decay=tr.weight_decay, select_criteria=tr.select_criteria,
+    )
+    set_defaults(
+        subparsers["finetune"],
+        dataset=ex.dataset, n_repeats=tr.n_repeats, epochs=tr.epochs,
+        no_bn=not tr.use_bn,
     )
     return rt.compilation_cache
 
@@ -655,12 +742,14 @@ def build_parser():
     sp.add_argument("--framerate", type=float, default=None)
     sp.add_argument("--width", type=int, default=None)
     sp.add_argument("--height", type=int, default=None)
-    sp.add_argument("--ingest", default="bgr", choices=["bgr", "yuv", "auto"],
-                    help="yuv: upload decoder-native I420 planes (half the "
-                    "bytes, device colorspace); bgr: host conversion "
-                    "(reference-decode parity)")
+    sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"],
+                    help="auto (default): decoder-native I420 upload + device "
+                    "colorspace when available (the fast path; features match "
+                    "bgr to <=3 LSB of colorspace rounding); bgr: host "
+                    "conversion (strict reference-decode parity)")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_predict)
+    subparser_map = {"predict": sp}
 
     sp = sub.add_parser("predict-batch", help="MOS for many videos, batched dispatch")
     sp.add_argument("--videos", nargs="+", required=True,
@@ -675,8 +764,12 @@ def build_parser():
     sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
     sp.add_argument("--output-csv", default=None,
                     help="also write video,predicted_mos CSV (ref log/predict_score shape)")
+    sp.add_argument("--n-data", type=int, default=None,
+                    help="mesh data-axis size (>1: shard video batches over devices)")
+    sp.add_argument("--n-model", type=int, default=1)
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_predict_batch)
+    subparser_map["predict-batch"] = sp
 
     sp = sub.add_parser("extract")
     sp.add_argument("--dataset", required=True)
@@ -705,12 +798,16 @@ def build_parser():
     sp.add_argument("--decode-workers", type=int, default=4)
     sp.add_argument("--dispatch-ahead", type=int, default=2)
     sp.add_argument("--profile-dir", default=None, help="jax profiler trace dir")
-    sp.add_argument("--ingest", default="bgr", choices=["bgr", "yuv", "auto"],
-                    help="yuv: decoder-native I420 upload + device colorspace "
-                    "(mode=full only); bgr: host conversion (parity default)")
+    sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"],
+                    help="auto (default): decoder-native I420 upload + device "
+                    "colorspace when available (mode=full; the fast path); "
+                    "bgr: host conversion (strict reference-decode parity)")
+    sp.add_argument("--n-data", type=int, default=None,
+                    help="mesh data-axis size (>1: shard extraction over devices)")
+    sp.add_argument("--n-model", type=int, default=1)
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_extract)
-    subparser_map = {"extract": sp}
+    subparser_map["extract"] = sp
 
     sp = sub.add_parser("train")
     sp.add_argument("--dataset", default="konvid_1k")
@@ -748,6 +845,7 @@ def build_parser():
     sp.add_argument("--weight-decay", type=float, default=5e-4)
     sp.add_argument("--select-criteria", default="bykrcc")
     sp.set_defaults(fn=cmd_train_lsvq)
+    subparser_map["train-lsvq"] = sp
 
     sp = sub.add_parser("greyscale")
     sp.add_argument("--dataset", required=True)
@@ -767,6 +865,7 @@ def build_parser():
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--no-bn", action="store_true")
     sp.set_defaults(fn=cmd_finetune)
+    subparser_map["finetune"] = sp
 
     sp = sub.add_parser("visualize")
     sp.add_argument("--frame", required=True, help="original frame PNG")
@@ -776,16 +875,19 @@ def build_parser():
     sp.set_defaults(fn=cmd_visualize)
 
     sp = sub.add_parser("parity")
-    sp.add_argument("--check", choices=["head", "demo"], default="head")
+    sp.add_argument("--check", choices=["head", "demo", "features"], default="head",
+                    help="features: diff the full 35,203-dim vector against "
+                    "the independent torch+cv2 oracle (no blobs needed)")
     sp.add_argument("--dataset", default="konvid_1k")
     sp.add_argument("--features-mat", default=None)
     sp.add_argument("--metadata-csv", default=None)
     sp.add_argument("--result-mat", default=None)
     sp.add_argument("--expected-csv", default=None, help="log/predict_score/*.csv")
     sp.add_argument("--greyscale-report", default=None)
-    sp.add_argument("--model", required=True, help="reference .pth")
-    sp.add_argument("--imputer", required=True)
-    sp.add_argument("--scaler", required=True)
+    sp.add_argument("--model", default=None,
+                    help="reference .pth (required for head/demo checks)")
+    sp.add_argument("--imputer", default=None)
+    sp.add_argument("--scaler", default=None)
     sp.add_argument("--no-bn", action="store_true")
     sp.add_argument("--video", default=None)
     sp.add_argument("--video-type", default="konvid_1k")

@@ -25,12 +25,17 @@ class ExtractConfig:
     resnet_weights: str | None = None
     vit_weights: str | None = None
     frame_bucket: int = 8  # shape-bucketing granularity for padded batches
-    ingest: str = "bgr"  # 'yuv' = decoder-native I420 upload + device colorspace
+    # 'auto' (default): decoder-native I420 upload + device colorspace when
+    # available (the fast path); 'bgr' = host conversion (strict parity)
+    ingest: str = "auto"
 
 
 @dataclasses.dataclass
 class RuntimeConfig:
-    n_data: int | None = None  # mesh data-axis size (None = all devices)
+    # Mesh shape for extract/predict-batch: n_data*n_model > 1 shards work
+    # over a ('data', 'model') device mesh (relaxtpu.parallel); None/1 = the
+    # single-device streaming path.
+    n_data: int | None = None
     n_model: int = 1
     decode_workers: int = 4
     dispatch_ahead: int = 2
@@ -50,6 +55,13 @@ class RunConfig:
     @classmethod
     def from_json(cls, text: str) -> "RunConfig":
         raw: dict[str, Any] = json.loads(text)
+        unknown = set(raw) - {"extract", "train", "runtime"}
+        if unknown:
+            raise ValueError(
+                f"unknown config sections: {sorted(unknown)} "
+                "(expected extract/train/runtime)"
+            )
+        # unknown keys INSIDE a section raise TypeError from the dataclass
         return cls(
             extract=ExtractConfig(**raw.get("extract", {})),
             train=TrainConfig(**raw.get("train", {})),

@@ -260,13 +260,13 @@ class FeatureExtractor:
         """
         fbuf = np.asarray(frames_i420)
         nbuf = np.asarray(next_i420)
-        if len(nbuf) > self.max_pair_batch(h, w):
-            # high-res fallback: convert on host, run the chunked sync path
-            from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
-
-            frames = np.asarray(yuv420_to_bgr(*unpack_i420(jnp.asarray(fbuf), h, w)))
-            nxt = np.asarray(yuv420_to_bgr(*unpack_i420(jnp.asarray(nbuf), h, w)))
-            return jnp.asarray(self.video_feature(frames, frames[: len(nxt)], nxt))
+        bmax = self.max_pair_batch(h, w)
+        if len(nbuf) > bmax:
+            # high-res path: chunked async dispatches over device-resident
+            # I420 buffers (uploaded once; full pipeline overlap preserved)
+            return self._video_feature_async_i420_chunked(
+                fbuf, nbuf, h, w, bmax, bucket
+            )
         if not hasattr(self, "_video_fn_i420_v"):
             self._video_fn_i420_v = jax.jit(
                 self._video_vec_i420, static_argnums=(6, 7)
@@ -290,6 +290,100 @@ class FeatureExtractor:
             w,
         )
 
+    # -------------------------------------------------- chunked high-res path
+    def _frames_sums_i420(self, resnet_vars, vit_vars, fbuf, n_frames, h, w):
+        """Full-frame segment SUMS from a packed I420 stack (masked rows)."""
+        from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
+
+        frames = yuv420_to_bgr(*unpack_i420(fbuf, h, w))
+        stack, vit_stats = self._frame_features(resnet_vars, vit_vars, frames)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (stack.shape[0], 1), 0)
+        m = (idx < n_frames).astype(stack.dtype)
+        return jnp.sum(stack * m, axis=0), jnp.sum(vit_stats * m, axis=0)
+
+    def _pairs_chunk_sums_i420(
+        self, resnet_vars, vit_vars, fbuf, nbuf, start, n_pairs,
+        acc_rn, acc_vit, h, w, chunk,
+    ):
+        """One pair-chunk's fragment-feature sums, accumulated into acc_*.
+
+        Slices ``chunk`` rows at traced offset ``start`` from the
+        device-resident I420 buffers (prev rows come from ``fbuf`` — the
+        pairs' first frames ARE the sampled frames), so every chunk reuses
+        ONE compiled program and the buffers upload once for the whole video.
+        Rows with global index >= n_pairs contribute zero.
+        """
+        from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
+
+        fsl = jax.lax.dynamic_slice_in_dim(fbuf, start, chunk, axis=0)
+        nsl = jax.lax.dynamic_slice_in_dim(nbuf, start, chunk, axis=0)
+        prev = yuv420_to_bgr(*unpack_i420(fsl, h, w))
+        nxt = yuv420_to_bgr(*unpack_i420(nsl, h, w))
+        frag_rn, frag_vit = self._pair_features(resnet_vars, vit_vars, prev, nxt)
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+        m = (idx < n_pairs).astype(frag_rn.dtype)
+        return acc_rn + jnp.sum(frag_rn * m, axis=0), acc_vit + jnp.sum(
+            frag_vit * m, axis=0
+        )
+
+    @staticmethod
+    def _finalize_sums(stack_sum, vit_sum, rn_sum, vitp_sum, n_frames, n_pairs):
+        nf = n_frames.astype(stack_sum.dtype)
+        npr = n_pairs.astype(stack_sum.dtype)
+        return jnp.concatenate(
+            [stack_sum / nf, vit_sum / nf, rn_sum / npr, vitp_sum / npr]
+        )
+
+    def _video_feature_async_i420_chunked(
+        self, fbuf, nbuf, h: int, w: int, chunk: int, bucket: int = 8
+    ):
+        """High-resolution whole-video program as chunked async dispatches.
+
+        The flow-warp working set caps in-flight pairs (``max_pair_batch``);
+        beyond it the video runs as 1 frame program + ceil(n_pairs/chunk)
+        pair-chunk programs, all enqueued WITHOUT blocking: the packed I420
+        buffers upload once (1.5 B/px), chunks slice them on device, and
+        segment sums accumulate on device — so high-res videos keep the
+        decode || transfer || compute pipelining of the standard path (the
+        old fallback converted to BGR on host and ran synchronously,
+        tripling transfer exactly where transfer hurts most).
+        """
+        if not hasattr(self, "_frames_sums_fn"):
+            self._frames_sums_fn = jax.jit(self._frames_sums_i420, static_argnums=(4, 5))
+            self._pairs_chunk_fn = jax.jit(
+                self._pairs_chunk_sums_i420, static_argnums=(8, 9, 10)
+            )
+            self._finalize_fn = jax.jit(self._finalize_sums)
+
+        def pad_rows(a, n_to):
+            if len(a) < n_to:
+                a = np.concatenate([a, np.repeat(a[-1:], n_to - len(a), axis=0)])
+            return a
+
+        n_frames, n_pairs = len(fbuf), len(nbuf)
+        np_padded = -(-n_pairs // chunk) * chunk
+        f_padded = max(-(-n_frames // bucket) * bucket, np_padded)
+        fdev = jnp.asarray(pad_rows(fbuf, f_padded))
+        ndev = jnp.asarray(pad_rows(nbuf, np_padded))
+        nf_dev = jnp.asarray(n_frames, jnp.int32)
+        npair_dev = jnp.asarray(n_pairs, jnp.int32)
+        stack_sum, vit_sum = self._frames_sums_fn(
+            self.resnet_vars, self.vit_vars, fdev, nf_dev, h, w
+        )
+        from relaxtpu.features.layout import FRAG_RESNET_DIM, FRAG_VIT_DIM
+
+        acc_rn = jnp.zeros((FRAG_RESNET_DIM,), jnp.float32)
+        acc_vit = jnp.zeros((FRAG_VIT_DIM,), jnp.float32)
+        for s in range(0, np_padded, chunk):
+            acc_rn, acc_vit = self._pairs_chunk_fn(
+                self.resnet_vars, self.vit_vars, fdev, ndev,
+                jnp.asarray(s, jnp.int32), npair_dev, acc_rn, acc_vit,
+                h, w, chunk,
+            )
+        return self._finalize_fn(
+            stack_sum, vit_sum, acc_rn, acc_vit, nf_dev, npair_dev
+        )
+
     def _videos_vec_i420(self, resnet_vars, vit_vars, fbufs, nbufs, n_frames, n_pairs, h, w):
         """Batched whole-video program: vmap of ``_video_vec_i420`` over a
         video axis.  One dispatch + two uploads cover the whole batch."""
@@ -299,22 +393,20 @@ class FeatureExtractor:
             )
         )(fbufs, nbufs, n_frames, n_pairs)
 
-    def video_features_batch_i420(
-        self, frames_i420_list, next_i420_list, h: int, w: int, bucket: int = 8
-    ):
-        """Enqueue MANY videos as one device program (async).
-
-        All videos are padded to the batch's max frame/pair count (bucketed),
-        stacked, and uploaded as two contiguous buffers; masked means keep
-        the math exact per video.  Amortizes the per-dispatch round-trip and
-        per-transfer overhead across the batch — the serving-throughput mode.
-        Returns a (V, 35203) device array without blocking.
-        """
+    def videos_fn(self):
+        """The jitted batched multi-video program (lazy).  Exposed so the
+        mesh evaluator (``relaxtpu.parallel.eval``) can call it with
+        explicitly sharded operands (video axis over the mesh's data axis)."""
         if not hasattr(self, "_videos_fn_i420_v"):
             self._videos_fn_i420_v = jax.jit(
                 self._videos_vec_i420, static_argnums=(6, 7)
             )
+        return self._videos_fn_i420_v
 
+    @staticmethod
+    def stack_videos_i420(frames_i420_list, next_i420_list, bucket: int = 8):
+        """Pad every video to the batch max frame/pair count (bucketed) and
+        stack: returns (fstack, nstack, n_frames, n_pairs) numpy arrays."""
         fl = [np.asarray(a) for a in frames_i420_list]
         nl = [np.asarray(a) for a in next_i420_list]
         nf = np.asarray([len(a) for a in fl], np.int32)
@@ -329,7 +421,23 @@ class FeatureExtractor:
 
         fstack = np.stack([pad_to(a, fmax) for a in fl])
         nstack = np.stack([pad_to(a, nmax) for a in nl])
-        return self._videos_fn_i420_v(
+        return fstack, nstack, nf, npair
+
+    def video_features_batch_i420(
+        self, frames_i420_list, next_i420_list, h: int, w: int, bucket: int = 8
+    ):
+        """Enqueue MANY videos as one device program (async).
+
+        All videos are padded to the batch's max frame/pair count (bucketed),
+        stacked, and uploaded as two contiguous buffers; masked means keep
+        the math exact per video.  Amortizes the per-dispatch round-trip and
+        per-transfer overhead across the batch — the serving-throughput mode.
+        Returns a (V, 35203) device array without blocking.
+        """
+        fstack, nstack, nf, npair = self.stack_videos_i420(
+            frames_i420_list, next_i420_list, bucket
+        )
+        return self.videos_fn()(
             self.resnet_vars,
             self.vit_vars,
             jnp.asarray(fstack),

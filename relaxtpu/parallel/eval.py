@@ -25,13 +25,69 @@ log = logging.getLogger("relaxtpu.parallel.eval")
 
 
 class ShardedVideoEvaluator:
-    """Evaluates videos -> 35,203-dim vectors, sharded over a mesh."""
+    """Evaluates videos -> 35,203-dim vectors, sharded over a mesh.
 
-    def __init__(self, extractor: FeatureExtractor, mesh: Mesh, decode_workers: int = 4):
+    Two sharding regimes, both over the mesh's ``data`` axis:
+
+    - :meth:`videos_batch_feature_i420` / the ``run`` grouping path shard the
+      VIDEO axis of the batched multi-video program (videos are
+      embarrassingly parallel — the natural pjit layout; zero collectives
+      during extraction).
+    - :meth:`video_feature` shards the FRAME/PAIR axis of one video's
+      programs (useful when a single huge video must spread over the mesh).
+    """
+
+    def __init__(
+        self,
+        extractor: FeatureExtractor,
+        mesh: Mesh,
+        decode_workers: int = 4,
+        videos_per_device: int = 1,
+    ):
         self.fx = extractor
         self.mesh = mesh
         self.decode_workers = decode_workers
+        self.videos_per_device = videos_per_device
         self._sharding = NamedSharding(mesh, P("data"))
+        self._replicated = NamedSharding(mesh, P())
+        self._vars_replicated = None
+
+    def _mesh_vars(self):
+        """Backbone weights replicated across the mesh (once)."""
+        if self._vars_replicated is None:
+            self._vars_replicated = (
+                jax.device_put(self.fx.resnet_vars, self._replicated),
+                jax.device_put(self.fx.vit_vars, self._replicated),
+            )
+        return self._vars_replicated
+
+    def videos_batch_feature_i420(
+        self, frames_i420_list, next_i420_list, h: int, w: int, bucket: int = 8
+    ):
+        """(V, 35203) device array (async): the batched multi-video program
+        with the video axis sharded over the mesh's data axis.  The video
+        count is padded to a multiple of the data-axis size (duplicates of
+        the last video; rows sliced off by the caller via ``len(...)``)."""
+        n = self.mesh.shape["data"]
+        v_real = len(frames_i420_list)
+        pad = (-v_real) % n
+        frames_i420_list = list(frames_i420_list) + [frames_i420_list[-1]] * pad
+        next_i420_list = list(next_i420_list) + [next_i420_list[-1]] * pad
+        fstack, nstack, nf, npair = self.fx.stack_videos_i420(
+            frames_i420_list, next_i420_list, bucket
+        )
+        rn, vit = self._mesh_vars()
+        out = self.fx.videos_fn()(
+            rn,
+            vit,
+            jax.device_put(fstack, self._sharding),
+            jax.device_put(nstack, self._sharding),
+            jax.device_put(nf, self._sharding),
+            jax.device_put(npair, self._sharding),
+            h,
+            w,
+        )
+        return out[:v_real]
 
     def _pad_shard(self, arr: np.ndarray) -> tuple[jax.Array, int]:
         n = self.mesh.shape["data"]
@@ -98,32 +154,80 @@ class ShardedVideoEvaluator:
         YUV-ingest form ``("i420", frames_i420, next_i420, h, w)``
         (``relaxtpu.io.video.decode_video_inputs_i420``) — half the
         host->device bytes, single-buffer uploads.
+
+        On a 1-device mesh this is the async streaming path (dispatch-ahead
+        queue).  On a multi-device mesh, same-resolution i420 videos are
+        grouped into ``data_axis * videos_per_device``-sized batches of the
+        video-axis-sharded program; BGR decodes fall back to the
+        frame-axis-sharded per-video path.
         """
-        out: list[np.ndarray] = []
+        n_data = self.mesh.shape["data"]
+        out_map: dict[int, np.ndarray] = {}
+
+        def emit(i: int, vec: np.ndarray):
+            out_map[i] = vec
+            if on_result:
+                on_result(i, vec)
+
         with cf.ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             futures = [pool.submit(decode_fn, v) for v in videos]
-            pending: list = []  # (index, device array) — dispatch-ahead queue
+            if n_data == 1:
+                pending: list = []  # (index, device array) — dispatch-ahead queue
 
-            def drain(limit: int):
-                while len(pending) > limit:
-                    i, dev = pending.pop(0)
-                    vec = np.asarray(dev)
-                    out.append(vec)
-                    if on_result:
-                        on_result(i, vec)
+                def drain(limit: int):
+                    while len(pending) > limit:
+                        j, dev = pending.pop(0)
+                        emit(j, np.asarray(dev))
 
-            for i, fut in enumerate(futures):
-                res = fut.result()
-                if isinstance(res[0], str) and res[0] == "i420":
-                    _, fbuf, nbuf, h, w = res
-                    dev = self.fx.video_feature_async_i420(fbuf, nbuf, h, w)
-                    n_frames, n_pairs = len(fbuf), len(nbuf)
-                else:
-                    frames, prev, nxt = res
-                    dev = self.fx.video_feature_async(frames, prev, nxt)
-                    n_frames, n_pairs = len(frames), len(prev)
-                pending.append((i, dev))
-                drain(2)  # keep <=3 videos in flight: decode || transfer || compute
-                log.debug("video %d dispatched (%d frames, %d pairs)", i, n_frames, n_pairs)
-            drain(0)
-        return out
+                for i, fut in enumerate(futures):
+                    res = fut.result()
+                    if isinstance(res[0], str) and res[0] == "i420":
+                        _, fbuf, nbuf, h, w = res
+                        dev = self.fx.video_feature_async_i420(fbuf, nbuf, h, w)
+                        n_frames, n_pairs = len(fbuf), len(nbuf)
+                    else:
+                        frames, prev, nxt = res
+                        dev = self.fx.video_feature_async(frames, prev, nxt)
+                        n_frames, n_pairs = len(frames), len(prev)
+                    pending.append((i, dev))
+                    drain(2)  # <=3 videos in flight: decode || transfer || compute
+                    log.debug(
+                        "video %d dispatched (%d frames, %d pairs)", i, n_frames, n_pairs
+                    )
+                drain(0)
+            else:
+                group_size = n_data * self.videos_per_device
+                groups: dict[tuple[int, int], list] = {}  # (h, w) -> [(i, f, n)]
+                in_flight: list = []  # (indices, device batch)
+
+                def flush(key):
+                    items = groups.pop(key, [])
+                    if not items:
+                        return
+                    h, w = key
+                    dev = self.videos_batch_feature_i420(
+                        [it[1] for it in items], [it[2] for it in items], h, w
+                    )
+                    in_flight.append(([it[0] for it in items], dev))
+
+                def drain(limit: int):
+                    while len(in_flight) > limit:
+                        idxs, dev = in_flight.pop(0)
+                        for j, vec in zip(idxs, np.asarray(dev)):
+                            emit(j, vec)
+
+                for i, fut in enumerate(futures):
+                    res = fut.result()
+                    if isinstance(res[0], str) and res[0] == "i420":
+                        _, fbuf, nbuf, h, w = res
+                        groups.setdefault((h, w), []).append((i, fbuf, nbuf))
+                        if len(groups[(h, w)]) >= group_size:
+                            flush((h, w))
+                            drain(1)  # one batch computing, one queued
+                    else:
+                        frames, prev, nxt = res
+                        emit(i, self.video_feature(frames, prev, nxt))
+                for key in list(groups):
+                    flush(key)
+                drain(0)
+        return [out_map[i] for i in range(len(futures))]

@@ -140,6 +140,93 @@ def head_parity(
     return ParityReport(len(diff), float(diff.max()), float(diff.mean()), HEAD_TOL)
 
 
+def feature_parity(
+    video: str | None,
+    resnet_weights: str | None = None,
+    vit_weights: str | None = None,
+    n_frames: int = 3,
+) -> dict:
+    """Full 35,203-dim vector vs the independent torch+cv2 oracle.
+
+    Runs the f32 pipeline AND the reference-stack oracle
+    (``relaxtpu.oracle``) on the same frames — a real video when ``video``
+    is given, synthetic frames otherwise — with the SAME weights (pretrained
+    .pths when provided, seeded random otherwise), and reports per-segment
+    cosine / relative-error against the accepted tolerances of
+    docs/PARITY.md.  Needs no reference blobs: this is the strongest
+    correctness check available before the pretrained weights land.
+    """
+    import jax.numpy as jnp
+
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.models.porters import (
+        load_torch_checkpoint,
+        port_torch_resnet50,
+        port_torch_vit,
+    )
+    from relaxtpu.oracle import (
+        build_torch_resnet50,
+        build_torch_vit,
+        compare_segments,
+        reference_video_feature,
+    )
+
+    rn_sd = load_torch_checkpoint(resnet_weights) if resnet_weights else None
+    vit_sd = load_torch_checkpoint(vit_weights) if vit_weights else None
+    rn_oracle = build_torch_resnet50(rn_sd, seed=0)
+    vit_oracle = build_torch_vit(vit_sd, seed=1)
+    fx = FeatureExtractor(
+        port_torch_resnet50(rn_oracle.state_dict()),
+        port_torch_vit(vit_oracle.state_dict()),
+        dtype=jnp.float32,
+    )
+
+    if video:
+        from relaxtpu.io.video import decode_video_inputs
+
+        frames, prev, nxt = decode_video_inputs(video)
+        frames, nxt = frames[:n_frames], nxt[:n_frames]
+        prev = frames[: len(nxt)]
+    else:
+        import cv2
+
+        rng = np.random.default_rng(0)
+        h, w = 120, 160
+        base = cv2.GaussianBlur(
+            rng.integers(0, 256, (h + 24, w + 24, 3), dtype=np.uint8).astype(np.float32),
+            (0, 0), 2,
+        )
+        chain = []
+        for i in range(2 * n_frames):
+            ox, oy = int(8 + 6 * np.sin(i / 3)), int(8 + 5 * np.cos(i / 4))
+            chain.append(np.clip(
+                base[oy : oy + h, ox : ox + w] + rng.normal(0, 6, (h, w, 3)), 0, 255
+            ).astype(np.uint8))
+        chain = np.stack(chain)
+        frames, nxt = np.ascontiguousarray(chain[0::2]), np.ascontiguousarray(chain[1::2])
+        prev = frames[: len(nxt)]
+
+    ours = fx.video_feature(frames, prev, nxt)
+    theirs = reference_video_feature(frames, nxt, rn_oracle, vit_oracle)
+    report = compare_segments(ours, theirs)
+    # docs/PARITY.md accepted tolerances
+    tol = {
+        "resnet_stack": (0.995, 0.05), "vit_pool": (0.995, 0.05),
+        "frag_resnet": (0.999, 0.02), "frag_vit": (0.999, 0.02),
+    }
+    ok = all(
+        report[s]["cosine"] >= c and report[s]["mean_abs_err_over_mean_abs"] <= m
+        for s, (c, m) in tol.items()
+    )
+    return {
+        "video": video or "<synthetic>",
+        "n_frames": int(len(frames)),
+        "weights": "pretrained" if resnet_weights else "seeded-random",
+        "segments": report,
+        "ok": ok,
+    }
+
+
 def demo_parity(
     video: str,
     video_type: str,

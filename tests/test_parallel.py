@@ -43,6 +43,93 @@ def test_shard_batch_pads_and_restores(rng):
     np.testing.assert_array_equal(np.asarray(padded)[:13], a)
 
 
+def _tiny_extractor():
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.models import ResNet50, ViT
+    from relaxtpu.models.initutil import fast_init
+
+    rn = fast_init(ResNet50(), jnp.zeros((1, 224, 224, 3)))
+    vit = fast_init(ViT(), jnp.zeros((1, 224, 224, 3)), key=jax.random.PRNGKey(1))
+    return FeatureExtractor(rn, vit)
+
+
+def _synth_videos(rng, n_videos, n_frames=4, h=64, w=96):
+    """[(bgr_frames, bgr_next, i420_frames, i420_next)] per video."""
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+    out = []
+    for _ in range(n_videos):
+        frames = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+        nxt = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+        out.append((frames, nxt, pack_i420(*bgr_to_yuv420(frames)),
+                    pack_i420(*bgr_to_yuv420(nxt))))
+    return out
+
+
+@pytest.mark.slow
+def test_sharded_evaluator_run_matches_single_device(rng):
+    """ShardedVideoEvaluator.run on a 2-device mesh == the single-device
+    programs, for mixed i420 (video-axis-sharded batch) and BGR
+    (frame-axis-sharded) decodes; results come back in input order."""
+    from relaxtpu.parallel.eval import ShardedVideoEvaluator
+
+    fx = _tiny_extractor()
+    vids = _synth_videos(rng, 3)
+    h, w = 64, 96
+
+    def decode(v):
+        i = v["i"]
+        if v["kind"] == "i420":
+            return ("i420", vids[i][2], vids[i][3], h, w)
+        frames, nxt = vids[i][0], vids[i][1]
+        return frames, frames[: len(nxt)], nxt
+
+    videos = [
+        {"i": 0, "kind": "i420"},
+        {"i": 1, "kind": "bgr"},
+        {"i": 2, "kind": "i420"},
+    ]
+    mesh = make_mesh(n_data=2, n_model=1, platform="cpu")
+    ev = ShardedVideoEvaluator(fx, mesh, decode_workers=2)
+    got = ev.run(videos, decode)
+    assert len(got) == 3
+
+    want = []
+    for v in videos:
+        i = v["i"]
+        if v["kind"] == "i420":
+            want.append(np.asarray(
+                fx.video_feature_async_i420(vids[i][2], vids[i][3], h, w)
+            ))
+        else:
+            frames, nxt = vids[i][0], vids[i][1]
+            want.append(fx.video_feature(frames, frames[: len(nxt)], nxt))
+    for g, e in zip(got, want):
+        assert g.shape == (35203,)
+        np.testing.assert_allclose(g, e, rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_sharded_evaluator_run_distributed_single_process(rng):
+    """run_distributed degenerates to run() in a single process (the DCN
+    allgather becomes an identity scatter into the output matrix)."""
+    from relaxtpu.parallel.eval import ShardedVideoEvaluator
+
+    fx = _tiny_extractor()
+    vids = _synth_videos(rng, 2)
+    h, w = 64, 96
+
+    def decode(i):
+        return ("i420", vids[i][2], vids[i][3], h, w)
+
+    mesh = make_mesh(n_data=2, n_model=1, platform="cpu")
+    ev = ShardedVideoEvaluator(fx, mesh, decode_workers=2)
+    mat = ev.run_distributed([0, 1], decode)
+    assert mat.shape == (2, 35203)
+    direct = ev.run([0, 1], decode)
+    np.testing.assert_allclose(mat, np.stack(direct), rtol=1e-5, atol=1e-6)
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
 

@@ -47,6 +47,30 @@ def test_video_feature_async_matches_sync(extractor, rng):
 
 
 @pytest.mark.slow
+def test_chunked_highres_path_matches_unchunked(extractor, rng, monkeypatch):
+    """The chunked async high-res path (pairs beyond max_pair_batch run as
+    dynamic-slice chunk programs over the device-resident I420 buffers, sums
+    accumulated on device) == the single-program path."""
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+    chain = rng.integers(0, 256, (6, 96, 128, 3), dtype=np.uint8)
+    nxt_c = np.roll(chain, -1, axis=0)[:5]
+    fbuf = pack_i420(*bgr_to_yuv420(chain))
+    nbuf = pack_i420(*bgr_to_yuv420(nxt_c))
+    want = np.asarray(
+        extractor.video_feature_async_i420(fbuf, nbuf, 96, 128, bucket=2)
+    )
+    # force the chunked fallback: cap in-flight pairs at 2 -> 3 chunk calls
+    monkeypatch.setattr(
+        type(extractor), "max_pair_batch", lambda self, h, w: 2
+    )
+    got = np.asarray(
+        extractor.video_feature_async_i420(fbuf, nbuf, 96, 128, bucket=2)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_pair_features_batch_invariance(extractor, rng):
     """Batched execution == per-pair execution (no cross-pair leakage)."""
     pairs = rng.integers(0, 256, (3, 96, 128, 3), dtype=np.uint8)

@@ -141,6 +141,39 @@ def test_extract_yuv_ingest_consistent(tmp_path, rng, capsys):
 
 
 @pytest.mark.slow
+def test_extract_mesh_cli(tmp_path, rng, capsys):
+    """extract --n-data 2 routes through the mesh-sharded evaluator and
+    produces the same features as the single-device path."""
+    from relaxtpu.cli.__main__ import main
+
+    data_root = tmp_path / "konvid"
+    (data_root / "KoNViD_1k_videos").mkdir(parents=True)
+    vids = []
+    for i in range(3):
+        vid = f"200{i}"
+        _write_video(str(data_root / "KoNViD_1k_videos" / f"{vid}.mp4"), rng, n=24)
+        vids.append(vid)
+    meta = pd.DataFrame(
+        {"vid": vids, "mos": [2.0, 3.0, 4.0], "framerate": 24.0,
+         "width": 128, "height": 96, "pixfmt": "yuv420p"}
+    )
+    meta_csv = str(tmp_path / "meta.csv")
+    meta.to_csv(meta_csv, index=False)
+
+    feats = {}
+    for tag, extra in (("mesh", ["--n-data", "2"]), ("single", [])):
+        out = str(tmp_path / f"f_{tag}")
+        main([
+            "extract", "--dataset", "konvid_1k", "--root", str(data_root),
+            "--metadata-csv", meta_csv, "--output", out, *extra,
+        ])
+        capsys.readouterr()
+        feats[tag] = np.load(os.path.join(out, "konvid_1k_features.npy"))
+    assert feats["mesh"].shape == (3, 35203)
+    np.testing.assert_allclose(feats["mesh"], feats["single"], rtol=2e-2, atol=1e-3)
+
+
+@pytest.mark.slow
 def test_predict_batch_cli(tmp_path, rng, capsys):
     """predict-batch: many videos -> per-video MOS lines + CSV, batched
     grouping by resolution; values match single-video predict."""
