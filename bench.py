@@ -132,6 +132,89 @@ def measure_tpu_batched(fx, videos, batch: int = 4) -> float:
     return (len(packed) - len(groups[0])) / dt
 
 
+def measure_stage_breakdown(fx, video) -> dict:
+    """Per-stage on-device timings (ms) of the whole-video program's pieces.
+
+    Through the axon relay ``block_until_ready`` is a no-op, so each stage is
+    timed by chaining ``iters`` executions in an on-device ``lax.scan`` whose
+    carry perturbs the stage input (defeating loop-invariant hoisting) and
+    fetching one scalar.  Stages: device colorspace (I420->BGR), the 224
+    resize chain, fragment selection (residual+scores+top-k+gather), the
+    Farneback flow batch, and the fused 48-image ResNet / ViT forwards.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from relaxtpu.ops import absdiff, bgr_to_gray, farneback_flow, fragment_pair
+    from relaxtpu.ops.colorspace import pack_i420, unpack_i420, yuv420_to_bgr
+
+    frames, prev, nxt, fyuv, nyuv = video
+    h, w = frames.shape[1:3]
+
+    def device_ms(stage_fn, *args, iters=3):
+        def chained(*a):
+            def body(c, _):
+                out = stage_fn(c, *a)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                return jnp.sum(leaf).astype(jnp.float32) * 1e-12, None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            return c
+
+        fn = jax.jit(chained)
+        float(fn(*args))  # compile + warm
+        t0 = time.perf_counter()
+        float(fn(*args))
+        return (time.perf_counter() - t0) / iters * 1000
+
+    out = {}
+    fbuf = jnp.asarray(pack_i420(*fyuv))
+    out["colorspace_i420_to_bgr"] = device_ms(
+        lambda c, b: yuv420_to_bgr(*unpack_i420(b + c.astype(jnp.uint8), h, w)), fbuf
+    )
+
+    frames_dev = jnp.asarray(frames)
+    out["resize_224_chain"] = device_ms(
+        lambda c, f: fx._backbone_inputs(f + c.astype(jnp.uint8), resize=True),
+        frames_dev,
+    )
+
+    prev_dev = jnp.asarray(prev)
+    nxt_dev = jnp.asarray(nxt)
+    out["fragment_select"] = device_ms(
+        lambda c, p, x: jax.vmap(lambda a, b: fragment_pair(absdiff(b, a), a))(
+            p + c.astype(jnp.uint8), x
+        ),
+        prev_dev, nxt_dev,
+    )
+
+    out["farneback_flow"] = device_ms(
+        lambda c, p, x: jax.vmap(
+            lambda a, b: farneback_flow(bgr_to_gray(a), bgr_to_gray(b), **FARNEBACK)
+        )(p + c.astype(jnp.uint8), x),
+        prev_dev, nxt_dev,
+    )
+
+    rng = np.random.default_rng(1)
+    x48 = jnp.asarray(
+        rng.normal(size=(3 * len(frames), 224, 224, 3)).astype(np.float32)
+    ).astype(fx.dtype)
+    out["resnet50_48img"] = device_ms(
+        lambda c, x: fx.resnet.apply(fx.resnet_vars, x + c.astype(fx.dtype), reduce="mean"),
+        x48,
+    )
+    out["vit_48img"] = device_ms(
+        lambda c, x: fx.vit.apply(fx.vit_vars, x + c.astype(fx.dtype), reduce="stats"),
+        x48,
+    )
+    return {k: round(v, 1) for k, v in out.items()}
+
+
+FARNEBACK = dict(
+    pyr_scale=0.5, levels=3, winsize=15, iterations=3, poly_n=5, poly_sigma=1.2
+)
+
+
 def measure_reference_torch_cv2(video) -> float:
     """The reference's real stack (torch + cv2 + numpy), executed the way the
     reference executes it: batch=1, 15 hooked full ResNet forwards per
@@ -326,6 +409,11 @@ def main():
         detail["vps_bgr_ingest"] = round(measure_tpu(fx, videos[:5], ingest="bgr"), 4)
     except Exception as e:
         detail["vps_bgr_error"] = str(e)[:120]
+
+    try:
+        detail["stage_ms"] = measure_stage_breakdown(fx, videos[0])
+    except Exception as e:
+        detail["stage_ms_error"] = str(e)[:120]
 
     # resolution sweep (1080p) — fewer videos, same pipeline
     try:

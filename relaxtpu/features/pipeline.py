@@ -128,9 +128,34 @@ class FeatureExtractor:
     def _video_vec(self, resnet_vars, vit_vars, frames, prev, nxt, n_frames, n_pairs):
         """Whole-video program: feature rows reduced to the 35,203 vector on
         device (only 140KB leaves the chip).  Row counts are passed as device
-        scalars so padded batches (shape bucketing) average correctly."""
-        stack, vit_stats = self._frame_features(resnet_vars, vit_vars, frames)
-        frag_rn, frag_vit = self._pair_features(resnet_vars, vit_vars, prev, nxt)
+        scalars so padded batches (shape bucketing) average correctly.
+
+        The resized full frames and both fragment stacks are concatenated
+        into ONE backbone batch per network (F + 2P images, e.g. 48 for a
+        16f+16p video) instead of separate frame/fragment forwards — bigger
+        conv/matmul batches tile the MXU better and halve the per-backbone
+        dispatch count inside the program."""
+        x_rn_f, x_vit_f = self._backbone_inputs(frames, resize=True)
+        ori_frag, merged_frag = jax.vmap(self._fragments)(prev, nxt)
+        x_rn_p, x_vit_p = self._backbone_inputs(
+            jnp.concatenate([ori_frag, merged_frag], axis=0), resize=False
+        )
+        f = frames.shape[0]
+        p = prev.shape[0]
+        taps = self.resnet.apply(
+            resnet_vars, jnp.concatenate([x_rn_f, x_rn_p], axis=0), reduce="mean"
+        )
+        stack_all = layer_stack_feature(taps)
+        pool_all = resnet_pool_feature(taps["avgpool"])
+        vit_all = self.vit.apply(
+            vit_vars, jnp.concatenate([x_vit_f, x_vit_p], axis=0), reduce="stats"
+        )
+        stack = stack_all[:f]
+        vit_stats = vit_all[:f]
+        frag_rn = jnp.concatenate(
+            [stack_all[f : f + p], pool_all[f + p :]], axis=-1
+        )
+        frag_vit = jnp.concatenate([vit_all[f : f + p], vit_all[f + p :]], axis=-1)
 
         def masked_mean(x, n):
             idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
@@ -448,17 +473,25 @@ class FeatureExtractor:
             w,
         )
 
+    # Accounting for the flow stage's peak live f32 planes per pair at the
+    # finest pyramid level (the working-set model behind max_pair_batch):
+    #   2 gray + 2 smoothed images ................................  4
+    #   2 polynomial expansions (5 coefficient planes each) ....... 10
+    #   warped expansion + normal-equation planes M + box-blur tmp  15
+    #   banded-warp scan operands (blocked xi/yi/tx/ty + window
+    #   slabs + G rows materialized between the two einsums) ...... ~8
+    #   fragment/colorspace overlap headroom ......................  3
+    # Total ~40 planes; XLA's scheduler overlaps some of these, so this is
+    # an upper bound.  Validated empirically: 16 pairs at 1080p and the
+    # 4K chunked path (6-pair chunks) both run without OOM on a 16 GB v5e.
+    _FLOW_LIVE_PLANES = 40
+    _FLOW_HBM_BUDGET = 8.5e9  # leave ~half a 16 GB chip for weights/backbones
+
     def max_pair_batch(self, h: int, w: int) -> int:
-        """HBM budget for the flow stage.  With the banded MXU warp
-        (``relaxtpu.ops.warp``) the per-pair peak is ~40 live f32 planes
-        (pyramid expansions, normal-equation planes, scan-windowed matmul
-        operands) — the 128-lane-padded gather operand of the old exact warp
-        is gone.  Cap in-flight pairs at ~8.5 GB (16 GB v5e chip):
-        540p/1080p -> 16 (1080p empirically validated on chip), 4K -> 6
-        (16f+16p 4K video validated end-to-end on chip via the chunked
-        fallback, finite output, no OOM)."""
-        per_pair = h * w * 4 * 40
-        return max(1, min(16, int(8.5e9 // per_pair)))
+        """Max in-flight pairs for the flow stage at (h, w) — derived from
+        the per-pair working-set accounting above."""
+        per_pair = h * w * 4 * self._FLOW_LIVE_PLANES
+        return max(1, min(16, int(self._FLOW_HBM_BUDGET // per_pair)))
 
     def frame_features(self, frames_bgr_u8) -> tuple[np.ndarray, np.ndarray]:
         stack, vit_stats = self._frame_fn(jnp.asarray(frames_bgr_u8))

@@ -209,10 +209,10 @@ def feature_parity(
     ours = fx.video_feature(frames, prev, nxt)
     theirs = reference_video_feature(frames, nxt, rn_oracle, vit_oracle)
     report = compare_segments(ours, theirs)
-    # docs/PARITY.md accepted tolerances
+    # docs/PARITY.md accepted tolerances (measured deltas ~7.6e-5 .. 4e-4)
     tol = {
-        "resnet_stack": (0.995, 0.05), "vit_pool": (0.995, 0.05),
-        "frag_resnet": (0.999, 0.02), "frag_vit": (0.999, 0.02),
+        "resnet_stack": (0.9999, 5e-3), "vit_pool": (0.9999, 5e-3),
+        "frag_resnet": (0.9999, 5e-3), "frag_vit": (0.9999, 5e-3),
     }
     ok = all(
         report[s]["cosine"] >= c and report[s]["mean_abs_err_over_mean_abs"] <= m

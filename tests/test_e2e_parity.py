@@ -24,15 +24,16 @@ from relaxtpu.oracle import (  # noqa: E402
     reference_video_feature,
 )
 
-# Accepted tolerances (docs/PARITY.md).  The full-frame segments absorb the
-# PIL-vs-jax resize delta; the fragment segments run on identical uint8
-# inputs and differ only by backbone f32 reduction order (plus rare
-# score-tie patch swaps in the flow fragment).
+# Accepted tolerances (docs/PARITY.md).  Measured 2026-08-17 on synthetic
+# 120x160 content: resnet_stack mean rel 7.6e-5 (the PIL-vs-jax resize seam
+# is near-exact), vit_pool 4.0e-4 (LANCZOS seam), frag_resnet 7.7e-7,
+# frag_vit 3.8e-5.  Bounds carry ~10x headroom for content variation and
+# rare score-tie patch swaps in the flow fragment.
 TOLERANCES = {
-    "resnet_stack": {"cosine": 0.995, "mean_rel": 0.05},
-    "vit_pool": {"cosine": 0.995, "mean_rel": 0.05},
-    "frag_resnet": {"cosine": 0.999, "mean_rel": 0.02},
-    "frag_vit": {"cosine": 0.999, "mean_rel": 0.02},
+    "resnet_stack": {"cosine": 0.9999, "mean_rel": 5e-3},
+    "vit_pool": {"cosine": 0.9999, "mean_rel": 5e-3},
+    "frag_resnet": {"cosine": 0.9999, "mean_rel": 5e-3},
+    "frag_vit": {"cosine": 0.9999, "mean_rel": 5e-3},
 }
 
 
