@@ -199,13 +199,15 @@ def measure_stage_breakdown(fx, video) -> dict:
     x48 = jnp.asarray(
         rng.normal(size=(3 * len(frames), 224, 224, 3)).astype(np.float32)
     ).astype(fx.dtype)
+    # weights MUST travel as jit arguments: a closed-over tree bakes into the
+    # HLO as constants and the remote-compile tunnel rejects it (HTTP 413)
     out["resnet50_48img"] = device_ms(
-        lambda c, x: fx.resnet.apply(fx.resnet_vars, x + c.astype(fx.dtype), reduce="mean"),
-        x48,
+        lambda c, v, x: fx.resnet.apply(v, x + c.astype(fx.dtype), reduce="mean"),
+        fx.resnet_vars, x48,
     )
     out["vit_48img"] = device_ms(
-        lambda c, x: fx.vit.apply(fx.vit_vars, x + c.astype(fx.dtype), reduce="stats"),
-        x48,
+        lambda c, v, x: fx.vit.apply(v, x + c.astype(fx.dtype), reduce="stats"),
+        fx.vit_vars, x48,
     )
     return {k: round(v, 1) for k, v in out.items()}
 
@@ -415,12 +417,25 @@ def main():
     except Exception as e:
         detail["stage_ms_error"] = str(e)[:120]
 
-    # resolution sweep (1080p) — fewer videos, same pipeline
+    # resolution sweep (1080p) — fewer videos, same pipeline; best-of-2 like
+    # the 540p headline (the tunneled link's bandwidth swings 2x+ run-to-run)
     try:
         videos_1080 = [synthetic_video(rng, N_FRAMES, 1080, 1920) for _ in range(4)]
-        detail["vps_1080p"] = round(measure_tpu(fx, videos_1080), 4)
+        detail["vps_1080p"] = round(
+            max(measure_tpu(fx, videos_1080) for _ in range(2)), 4
+        )
     except Exception as e:
         detail["vps_1080p_error"] = str(e)[:120]
+
+    # 4K (2160p): pairs exceed the flow HBM budget, so this exercises the
+    # chunked async path (I420 uploaded once, device-side chunk slicing)
+    try:
+        # 2 videos only (one warmup, one timed): a 4K video is ~800 MB of
+        # host frames; more would pressure this host's RAM
+        videos_4k = [synthetic_video(rng, N_FRAMES, 2160, 3840) for _ in range(2)]
+        detail["vps_4k"] = round(measure_tpu(fx, videos_4k), 4)
+    except Exception as e:
+        detail["vps_4k_error"] = str(e)[:120]
 
     print(
         json.dumps(
