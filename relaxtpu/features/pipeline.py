@@ -409,14 +409,96 @@ class FeatureExtractor:
             stack_sum, vit_sum, acc_rn, acc_vit, nf_dev, npair_dev
         )
 
-    def _videos_vec_i420(self, resnet_vars, vit_vars, fbufs, nbufs, n_frames, n_pairs, h, w):
-        """Batched whole-video program: vmap of ``_video_vec_i420`` over a
-        video axis.  One dispatch + two uploads cover the whole batch."""
-        return jax.vmap(
-            lambda fb, nb, nf, npair: self._video_vec_i420(
-                resnet_vars, vit_vars, fb, nb, nf, npair, h, w
-            )
-        )(fbufs, nbufs, n_frames, n_pairs)
+    def _videos_vec_i420(
+        self, resnet_vars, vit_vars, fbufs, nbufs, n_frames, n_pairs, h, w, chunk=0
+    ):
+        """Batched whole-video program with a CAPPED flow working set.
+
+        The original formulation (plain ``vmap`` of the per-video program)
+        ran every video's flow concurrently — V x P pairs of Farneback
+        working set at once (4x the HBM pressure at batch 4), which made the
+        batched mode 26-80% SLOWER per video than streaming.  Here the flow/
+        fragment stage runs over the FLATTENED pair axis in ``lax.scan``
+        chunks of ``chunk`` pairs (0 = no cap), so in-flight flow state never
+        exceeds the single-video budget, while the backbones still see one
+        giant (V*F + 2*V*P)-image batch — the part that actually benefits
+        from batching.  One dispatch + two uploads cover the whole batch.
+        """
+        from relaxtpu.ops.colorspace import unpack_i420, yuv420_to_bgr
+
+        v, fmax = fbufs.shape[:2]
+        pmax = nbufs.shape[1]
+        frames = yuv420_to_bgr(*unpack_i420(fbufs.reshape(v * fmax, -1), h, w))
+        nxts = yuv420_to_bgr(*unpack_i420(nbufs.reshape(v * pmax, -1), h, w))
+        # the pairs' first frames ARE the sampled frames (reference sampling)
+        prevs = frames.reshape(v, fmax, h, w, 3)[:, :pmax].reshape(v * pmax, h, w, 3)
+
+        n_flat = v * pmax
+        if not chunk or chunk >= n_flat:
+            ori, mer = jax.vmap(self._fragments)(prevs, nxts)
+        else:
+            npad = -(-n_flat // chunk) * chunk
+            pc = jnp.pad(prevs, ((0, npad - n_flat), (0, 0), (0, 0), (0, 0)))
+            nc = jnp.pad(nxts, ((0, npad - n_flat), (0, 0), (0, 0), (0, 0)))
+            pc = pc.reshape(npad // chunk, chunk, h, w, 3)
+            nc = nc.reshape(npad // chunk, chunk, h, w, 3)
+
+            def body(_, xs):
+                p, nx = xs
+                return None, jax.vmap(self._fragments)(p, nx)
+
+            _, (ori, mer) = jax.lax.scan(body, None, (pc, nc))
+            ori = ori.reshape(npad, *ori.shape[2:])[:n_flat]
+            mer = mer.reshape(npad, *mer.shape[2:])[:n_flat]
+
+        x_rn_f, x_vit_f = self._backbone_inputs(frames, resize=True)
+        x_rn_p, x_vit_p = self._backbone_inputs(
+            jnp.concatenate([ori, mer], axis=0), resize=False
+        )
+        nf_rows = v * fmax
+        taps = self.resnet.apply(
+            resnet_vars, jnp.concatenate([x_rn_f, x_rn_p], axis=0), reduce="mean"
+        )
+        stack_all = layer_stack_feature(taps)
+        pool_all = resnet_pool_feature(taps["avgpool"])
+        vit_all = self.vit.apply(
+            vit_vars, jnp.concatenate([x_vit_f, x_vit_p], axis=0), reduce="stats"
+        )
+
+        def per_video(x, rows):
+            return x.reshape(v, rows, x.shape[-1])
+
+        stack = per_video(stack_all[:nf_rows], fmax)
+        vit_stats = per_video(vit_all[:nf_rows], fmax)
+        frag_rn = jnp.concatenate(
+            [
+                per_video(stack_all[nf_rows : nf_rows + n_flat], pmax),
+                per_video(pool_all[nf_rows + n_flat :], pmax),
+            ],
+            axis=-1,
+        )
+        frag_vit = jnp.concatenate(
+            [
+                per_video(vit_all[nf_rows : nf_rows + n_flat], pmax),
+                per_video(vit_all[nf_rows + n_flat :], pmax),
+            ],
+            axis=-1,
+        )
+
+        def masked_mean(x, n):
+            idx = jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1), 1)
+            m = (idx < n[:, None, None]).astype(x.dtype)
+            return jnp.sum(x * m, axis=1) / n[:, None].astype(x.dtype)
+
+        return jnp.concatenate(
+            [
+                masked_mean(stack, n_frames),
+                masked_mean(vit_stats, n_frames),
+                masked_mean(frag_rn, n_pairs),
+                masked_mean(frag_vit, n_pairs),
+            ],
+            axis=-1,
+        )
 
     def videos_fn(self):
         """The jitted batched multi-video program (lazy).  Exposed so the
@@ -424,7 +506,7 @@ class FeatureExtractor:
         explicitly sharded operands (video axis over the mesh's data axis)."""
         if not hasattr(self, "_videos_fn_i420_v"):
             self._videos_fn_i420_v = jax.jit(
-                self._videos_vec_i420, static_argnums=(6, 7)
+                self._videos_vec_i420, static_argnums=(6, 7, 8)
             )
         return self._videos_fn_i420_v
 
@@ -471,6 +553,7 @@ class FeatureExtractor:
             jnp.asarray(npair),
             h,
             w,
+            self.max_pair_batch(h, w),
         )
 
     # Accounting for the flow stage's peak live f32 planes per pair at the

@@ -35,9 +35,16 @@ This module reformulates the warp so the hot step runs on the MXU:
 - Vertical interpolation is a 2-tap one-hot mask reduce over the K window
   rows (VPU, negligible cost).
 
-Cost at 540p (5 planes, K=72, band=64): ~50 G-MAC per warp call — measured
-23 ms per 16-pair batch on a tunneled v5e vs ~35+ ms for ONE XLA gather
-call it replaces.
+Cost at 540p (5 planes, K=40, band=64): ~28 G-MAC per warp call — measured
+16.5 ms per 16-pair batch on a tunneled v5e (K=72: 22.4 ms) vs ~35+ ms for
+ONE XLA gather call it replaces.  Runtime is bound by the materialized
+one-hot / G intermediates, not FLOPs (window 72 -> 24 cuts FLOPs 3x but time
+only 1.5x), so K shrinks only help linearly; K=40 (margin 16 rows around the
+row-block mean dy) still tracks a 2 deg/frame rotation at 960 px wide — the
+validated robustness floor (K=32 fails it; see scripts/exp_warp_cfg.py).
+Column-adaptive slabs (mean-dx folded into the dynamic slice) were measured
+and rejected: the lane-dimension dynamic slice costs more than the smaller
+band saves (17.5 ms at band=32+adaptive vs 16.5 at static band=64).
 """
 
 from __future__ import annotations
@@ -53,13 +60,16 @@ _B = 8  # output row-block (f32 sublane tile)
 _CB = 128  # output column-block (lane tile)
 
 
-@functools.partial(jax.jit, static_argnames=("band", "window", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("band", "window", "precision", "col_adaptive")
+)
 def warp_planes_banded_xla(
     planes: jax.Array,
     flow: jax.Array,
     band: int = 64,
-    window: int = 72,
+    window: int = 40,
     precision=jax.lax.Precision.DEFAULT,
+    col_adaptive: bool = False,
 ) -> jax.Array:
     """Bilinear-warp ``planes`` (C, H, W) by ``flow`` (2, H, W) -> (C, H, W).
 
@@ -71,6 +81,13 @@ def warp_planes_banded_xla(
     source index clamps to the window edge.  Out-of-image samples are the
     caller's concern (the Farneback update masks them via its ``inside``
     test).
+
+    ``col_adaptive``: additionally centre the column slabs on the row-block's
+    mean HORIZONTAL displacement (one traced column offset folded into the
+    same dynamic_slice that already applies the row offset).  Coherent pans
+    of any magnitude then stay exact and ``band`` only needs to cover the
+    WITHIN-row-block spread of dx (zoom/rotation shear), so it can shrink —
+    the matmul contraction length is CB + 2*band.
     """
     c, h, w = planes.shape
     k = max(_B, min(window, h))
@@ -116,26 +133,45 @@ def warp_planes_banded_xla(
 
     # Source padded to the slab grid; edge mode so band-clamped samples read
     # replicated real pixels, not zeros.
-    planes_p = jnp.pad(planes, ((0, 0), (0, 0), (0, wp - w)), mode="edge")
+    _CP = 128  # column-offset headroom when col_adaptive
+    cpad = _CP if col_adaptive else 0
+    planes_p = jnp.pad(
+        planes, ((0, 0), (0, 0), (cpad, cpad + wp - w)), mode="edge"
+    )
+    if col_adaptive:
+        dx_pad = jnp.pad(
+            jnp.nan_to_num(flow[0]), ((0, hp - h), (0, wp - w)), mode="edge"
+        )
+        dx_base = jnp.clip(
+            jnp.round(jnp.mean(dx_pad.reshape(nb, _B * wp), axis=1)).astype(jnp.int32),
+            -_CP,
+            _CP,
+        )
+    else:
+        dx_base = jnp.zeros((nb,), jnp.int32)
 
     u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cbh, 1), 2)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
     cstart_arr = jnp.asarray(cstarts, jnp.int32)[None, :, None]
 
     def body(_, xs_blk):
-        wstart, xi_k, yi_k, tx_k, ty_k, dyb = xs_blk
+        wstart, xi_k, yi_k, tx_k, ty_k, dyb, dxb = xs_blk
         rstart = jnp.clip(wstart + dyb, 0, h - k)
-        win = jax.lax.dynamic_slice(planes_p, (0, rstart, 0), (c, k, wp))
+        win = jax.lax.dynamic_slice(planes_p, (0, rstart, cpad + dxb), (c, k, wp))
         win_c = jnp.stack(
             [jax.lax.slice(win, (0, 0, cs), (c, k, cs + cbh)) for cs in cstarts]
         )  # (ncb, C, K, CBh)
 
-        xi_loc = jnp.clip(xi_k - cstart_arr, 0, cbh - 2)[:, :, None, :]
+        xi_loc = jnp.clip(xi_k - dxb - cstart_arr, 0, cbh - 2)[:, :, None, :]
         txe = tx_k[:, :, None, :]
         m = jnp.where(u_iota == xi_loc, 1.0 - txe, 0.0) + jnp.where(
             u_iota == xi_loc + 1, txe, 0.0
         )  # (B, ncb, CBh, CB)
 
+        # Explicit bf16 staging of m/win_c/G was measured and REVERTED: at
+        # DEFAULT precision XLA already feeds the dot bf16 operands, so
+        # forcing the cast saved nothing on TPU (22.4 vs 21.6 ms) and would
+        # change CPU numerics (CPU DEFAULT dots are f32).
         g = jnp.einsum(
             "npru,inuj->inprj",
             win_c,
@@ -154,7 +190,7 @@ def warp_planes_banded_xla(
 
     _, rows = jax.lax.scan(
         body, None,
-        (jnp.asarray(wstarts), xi_b, yi_b, tx_b, ty_b, dy_base),
+        (jnp.asarray(wstarts), xi_b, yi_b, tx_b, ty_b, dy_base, dx_base),
     )  # (nb, B, ncb, C, CB)
     out = rows.transpose(3, 0, 1, 2, 4).reshape(c, hp, wp)
     return out[:, :h, :w]
@@ -324,7 +360,7 @@ def warp_planes_banded(
     planes: jax.Array,
     flow: jax.Array,
     band: int = 64,
-    window: int = 72,
+    window: int = 40,
     precision=jax.lax.Precision.DEFAULT,
 ) -> jax.Array:
     """Banded bilinear warp — XLA scan formulation.

@@ -77,6 +77,9 @@ class ShardedVideoEvaluator:
             frames_i420_list, next_i420_list, bucket
         )
         rn, vit = self._mesh_vars()
+        # flow working-set cap is PER DEVICE; the chunked scan counts global
+        # pairs, so scale by the data-axis width
+        chunk = self.fx.max_pair_batch(h, w) * n
         out = self.fx.videos_fn()(
             rn,
             vit,
@@ -86,6 +89,7 @@ class ShardedVideoEvaluator:
             jax.device_put(npair, self._sharding),
             h,
             w,
+            chunk,
         )
         return out[:v_real]
 

@@ -123,3 +123,33 @@ def test_batched_videos_match_single(extractor, rng):
             extractor.video_feature_async_i420(fbufs[i], nbufs[i], h, w, bucket=4)
         )
         np.testing.assert_allclose(batch[i], single, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_batched_videos_chunked_flow_matches_unchunked(extractor, rng):
+    """The pair-chunked flow scan inside the batched program (the fix for
+    batch mode's V*P concurrent-flow HBM blowup) is numerically identical to
+    the unchunked vmap."""
+    from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+    h, w = 96, 128
+    fbufs, nbufs = [], []
+    for n in (3, 4):
+        chain = rng.integers(0, 256, (n + 1, h, w, 3), dtype=np.uint8)
+        fbufs.append(pack_i420(*bgr_to_yuv420(chain[:n])))
+        nbufs.append(pack_i420(*bgr_to_yuv420(chain[1 : n + 1])))
+    fstack, nstack, nf, npair = extractor.stack_videos_i420(fbufs, nbufs, bucket=4)
+    fn = extractor.videos_fn()
+    args = (
+        extractor.resnet_vars,
+        extractor.vit_vars,
+        jnp.asarray(fstack),
+        jnp.asarray(nstack),
+        jnp.asarray(nf),
+        jnp.asarray(npair),
+        h,
+        w,
+    )
+    want = np.asarray(fn(*args, 0))  # unchunked
+    got = np.asarray(fn(*args, 3))  # 8 flattened pairs -> 3 chunks (pad row)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

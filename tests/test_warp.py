@@ -44,10 +44,31 @@ def oracle(planes, flow):
     "c,h,w", [(5, 120, 160), (5, 68, 120), (1, 64, 256), (3, 96, 130)]
 )
 def test_xla_banded_matches_oracle_in_band(rng, c, h, w):
+    """iid flow clipped to the default contract: |dx| <= band (64), dy within
+    the (window-8)//2 = 16-row margin of its row-block mean.  Real Farneback
+    intermediate flows are box-blurred (winsize 15) and sit far inside this;
+    unclipped iid noise at sigma=5 has 3-sigma outliers that clamp by design.
+    """
     planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
-    flow = rng.normal(0, 5, (2, h, w)).astype(np.float32)  # well within band
+    flow = rng.normal(0, 5, (2, h, w)).astype(np.float32)
+    flow[1] = np.clip(flow[1], -12.0, 12.0)  # margin 16 minus bilinear corner
     want = oracle(planes, flow)
     got = np.asarray(warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow)))
+    np.testing.assert_allclose(got, want, atol=2e-2)
+
+
+@pytest.mark.parametrize("window", [24, 40, 72])
+def test_xla_banded_window_contract(rng, window):
+    """Each window size is exact for dy deviations up to its own margin."""
+    c, h, w = 3, 96, 160
+    margin = (window - 8) // 2
+    planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
+    flow = rng.normal(0, 5, (2, h, w)).astype(np.float32)
+    flow[1] = np.clip(flow[1], -(margin - 4), margin - 4) + 37.0  # big mean dy
+    want = oracle(planes, flow)
+    got = np.asarray(
+        warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow), window=window)
+    )
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 
@@ -90,7 +111,9 @@ def test_pallas_interpret_matches_xla(rng):
     c, h, w = 5, 120, 160
     planes = jnp.asarray(rng.normal(0, 50, (c, h, w)).astype(np.float32))
     flow = jnp.asarray(rng.normal(0, 4, (2, h, w)).astype(np.float32))
-    want = np.asarray(warp_planes_banded_xla(planes, flow))
+    # window=72 pins the XLA margin to the Pallas kernel's own (its window
+    # rounds to 8-row multiples; the XLA default is now 40)
+    want = np.asarray(warp_planes_banded_xla(planes, flow, window=72))
     got = np.asarray(warp_planes_banded_pallas(planes, flow, interpret=True))
     np.testing.assert_allclose(got, want, atol=1e-3)
 
@@ -105,7 +128,10 @@ def test_pallas_interpret_vmap(rng):
         )
     )
     want = np.stack(
-        [np.asarray(warp_planes_banded_xla(planes[i], flow[i])) for i in range(3)]
+        [
+            np.asarray(warp_planes_banded_xla(planes[i], flow[i], window=72))
+            for i in range(3)
+        ]
     )
     np.testing.assert_allclose(got, want, atol=1e-3)
 
