@@ -273,31 +273,35 @@ def _shift_sum(x: jax.Array, axis: int, count: int, stride: int, out_len: int) -
     return sum(sl(k * stride) for k in range(count))
 
 
+def _box_toeplitz(n_out: int, winsize: int) -> jax.Array:
+    """Replicate-border box-sum matrix (n_out, n_out), built on device from
+    iota compares (no multi-MB constants baked into the program — the axon
+    remote-compile tunnel rejects fat HLO)."""
+    r = winsize // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_out), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_out), 1)
+    t = jnp.zeros((n_out, n_out), jnp.float32)
+    for j in range(winsize):
+        t = t + (s == jnp.clip(i + j - r, 0, n_out - 1)).astype(jnp.float32)
+    return t
+
+
 def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
     """winsize x winsize box sum with replicate border; m is (C, H, W).
 
-    Shifted adds on the VPU (a 1-channel conv would waste the MXU), with a
-    hierarchical 3x5 decomposition for winsize 15: 3-wide partial sums then
-    5 of those at stride 3 — 8 adds per axis instead of 15.  This stage is
-    VPU-op-bound (measured 17.2 -> ~9 ms per 16-pair 540p call), and the
-    regrouped f32 summation order stays well inside the 0.05 px flow parity
-    tolerance (tests/test_flow.py)."""
-    r = winsize // 2
+    Both axes as banded-Toeplitz matmuls on the MXU at HIGH precision
+    (measured 6.4 ms vs 8.5 for the best shifted-add form per 16-pair 540p
+    call; the earlier VPU history: naive 15-tap shifted adds 17.2 ms ->
+    hierarchical 3x5 decomposition 8.5 ms -> this).  HIGH is a 3-pass bf16
+    dot on TPU (~f32-grade for 15-term sums; plain f32 on CPU), and the
+    changed summation order stays orders of magnitude inside the 0.05 px
+    flow parity tolerance (tests/test_flow.py; re-validated on-chip)."""
     c, h, w = m.shape
-    x = jnp.pad(m, ((0, 0), (r, r), (r, r)), mode="edge")  # (C, H+2r, W+2r)
-
-    def box_1d(x, axis, out_len):
-        n = x.shape[axis]
-        if winsize % 3 == 0 and winsize >= 9:
-            small = 3
-            big = winsize // 3
-            t = _shift_sum(x, axis, small, 1, n - small + 1)
-            return _shift_sum(t, axis, big, small, out_len)
-        return _shift_sum(x, axis, winsize, 1, out_len)
-
-    x = box_1d(x, 2, w)
-    x = box_1d(x, 1, h)
-    return x
+    ty = _box_toeplitz(h, winsize)
+    tx = _box_toeplitz(w, winsize)
+    hp = jax.lax.Precision.HIGH
+    v = jnp.einsum("yh,chw->cyw", ty, m, precision=hp)
+    return jnp.einsum("chw,xw->chx", v, tx, precision=hp)
 
 
 def _update_flow(m: jax.Array, winsize: int) -> jax.Array:

@@ -137,9 +137,16 @@ def test_pallas_interpret_vmap(rng):
 
 
 def test_dispatcher_runs(rng):
-    """warp_planes_banded picks a working implementation on any backend."""
+    """warp_planes_banded picks a working implementation on any backend.
+
+    dy is clipped inside the default window's row margin (see the in-band
+    contract on test_xla_banded_matches_oracle_in_band): the session-scoped
+    rng means unclipped 3-sigma outliers appear or not depending on which
+    tests ran first."""
     planes = jnp.asarray(rng.normal(0, 50, (5, 120, 160)).astype(np.float32))
-    flow = jnp.asarray(rng.normal(0, 4, (2, 120, 160)).astype(np.float32))
+    flow = rng.normal(0, 4, (2, 120, 160)).astype(np.float32)
+    flow[1] = np.clip(flow[1], -12.0, 12.0)
+    flow = jnp.asarray(flow)
     got = np.asarray(warp_planes_banded(planes, flow))
     want = oracle(np.asarray(planes), np.asarray(flow))
     np.testing.assert_allclose(got, want, atol=2e-2)
