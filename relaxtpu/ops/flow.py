@@ -135,6 +135,11 @@ def _poly_expansion(img: jax.Array, n: int, sigma: float) -> jax.Array:
     computed from six separable moment correlations with replicate border.
     """
     g, xg, xxg, ig11, ig03, ig33, ig55 = _poly_exp_coeffs(n, sigma)
+    # VPU shifted adds, NOT Toeplitz matmuls: measured 24.6 ms vs 30.3 for
+    # the dense-MXU form per 16-pair 540p all-levels call — six 11-tap
+    # passes waste ~87x FLOPs as dense (n, n) matrices, past the point
+    # where the MXU's rate advantage over the VPU pays for it (the 15-tap
+    # box blur, reused 3x per level, sits on the other side of that line).
     # vertical moment passes (correlation along y)
     v0 = _sep_correlate(img, np.array([1.0]), g, "edge")     # sum_y g f
     v1 = _sep_correlate(img, np.array([1.0]), xg, "edge")    # sum_y y g f
@@ -263,45 +268,58 @@ def _update_matrices(r0: jax.Array, r1: jax.Array, flow: jax.Array, warp: str) -
     return jnp.stack([m0, m1, m2, m3, m4], axis=0)
 
 
-def _shift_sum(x: jax.Array, axis: int, count: int, stride: int, out_len: int) -> jax.Array:
-    """sum_{k<count} x[..., k*stride : k*stride+out_len, ...] along ``axis``."""
-    def sl(off):
-        idx = [slice(None)] * x.ndim
-        idx[axis] = slice(off, off + out_len)
-        return x[tuple(idx)]
+def _toeplitz_matrices(kernels: np.ndarray, n: int, mode: str) -> jax.Array:
+    """(K, n, n) bordered Toeplitz correlation matrices T[k, i, s] =
+    sum_j kernels[k, j] * [s == border(i + j - r)], built on device from
+    iota compares (only the static per-tap coefficients are baked — the
+    remote-compile tunnel rejects programs with fat constants).
 
-    return sum(sl(k * stride) for k in range(count))
-
-
-def _box_toeplitz(n_out: int, winsize: int) -> jax.Array:
-    """Replicate-border box-sum matrix (n_out, n_out), built on device from
-    iota compares (no multi-MB constants baked into the program — the axon
-    remote-compile tunnel rejects fat HLO)."""
-    r = winsize // 2
-    i = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_out), 0)
-    s = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_out), 1)
-    t = jnp.zeros((n_out, n_out), jnp.float32)
-    for j in range(winsize):
-        t = t + (s == jnp.clip(i + j - r, 0, n_out - 1)).astype(jnp.float32)
+    mode 'edge' clamps out-of-range source indices (BORDER_REPLICATE);
+    'reflect' mirrors them excluding the edge (BORDER_REFLECT_101)."""
+    nk, taps = kernels.shape
+    r = taps // 2
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    s = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    t = jnp.zeros((nk, n, n), jnp.float32)
+    for j in range(taps):
+        src = i + j - r
+        if mode == "edge":
+            src = jnp.clip(src, 0, n - 1)
+        else:
+            src = jnp.where(src < 0, -src, src)
+            src = jnp.where(src > n - 1, 2 * (n - 1) - src, src)
+        mask = (s == src).astype(jnp.float32)
+        t = t + jnp.asarray(kernels[:, j].astype(np.float32))[:, None, None] * mask
     return t
 
 
-def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
-    """winsize x winsize box sum with replicate border; m is (C, H, W).
+def _toeplitz_correlate(x: jax.Array, kernels, axis: int, mode: str) -> jax.Array:
+    """Batched 1-D correlations along one of the last two axes of ``x`` as
+    dense Toeplitz matmuls on the MXU -> (K, *x.shape).
 
-    Both axes as banded-Toeplitz matmuls on the MXU at HIGH precision
-    (measured 6.4 ms vs 8.5 for the best shifted-add form per 16-pair 540p
-    call; the earlier VPU history: naive 15-tap shifted adds 17.2 ms ->
-    hierarchical 3x5 decomposition 8.5 ms -> this).  HIGH is a 3-pass bf16
-    dot on TPU (~f32-grade for 15-term sums; plain f32 on CPU), and the
-    changed summation order stays orders of magnitude inside the 0.05 px
-    flow parity tolerance (tests/test_flow.py; re-validated on-chip)."""
-    c, h, w = m.shape
-    ty = _box_toeplitz(h, winsize)
-    tx = _box_toeplitz(w, winsize)
+    ``kernels`` is a static (K, taps) array; ``mode`` is 'edge'
+    (BORDER_REPLICATE) or 'reflect' (BORDER_REFLECT_101).  Dense (n, n)
+    matrices waste ~n/taps of the MXU's FLOPs on structural zeros but beat
+    every form that materializes intermediates — these stages are
+    HBM-bound, not FLOP-bound (measured per 16-pair 540p box-blur call:
+    VPU shifted adds 8.5 ms, blocked band-slab einsum 12.0 ms, dense 6.4 ms).
+    HIGH precision (3-pass bf16 on TPU, plain f32 on CPU) keeps the
+    regrouped summation orders of magnitude inside the 0.05 px flow parity
+    tolerance (tests/test_flow.py; validated on-chip)."""
+    kernels = np.atleast_2d(np.asarray(kernels, np.float64))
+    n = x.shape[axis]
+    t = _toeplitz_matrices(kernels, n, mode)
     hp = jax.lax.Precision.HIGH
-    v = jnp.einsum("yh,chw->cyw", ty, m, precision=hp)
-    return jnp.einsum("chw,xw->chx", v, tx, precision=hp)
+    if axis % x.ndim == x.ndim - 2:
+        return jnp.einsum("kyh,...hw->k...yw", t, x, precision=hp)
+    return jnp.einsum("kxw,...w->k...x", t, x, precision=hp)
+
+
+def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
+    """winsize x winsize box sum with replicate border; m is (C, H, W)."""
+    ones = np.ones((1, winsize))
+    v = _toeplitz_correlate(m, ones, axis=-2, mode="edge")[0]
+    return _toeplitz_correlate(v, ones, axis=-1, mode="edge")[0]
 
 
 def _update_flow(m: jax.Array, winsize: int) -> jax.Array:
@@ -366,6 +384,8 @@ def farneback_flow(
 
         imgs = []
         for base in (prev_f, next_f):
+            # VPU shifted adds (measured 8.5 ms vs 10.0 for the Toeplitz
+            # MXU form across all levels per 16-pair 540p call)
             im = _sep_correlate(base, gk, gk, "reflect")
             imgs.append(_resize_linear(im, (hk, wk)))
         r0 = _poly_expansion(imgs[0], poly_n, poly_sigma)

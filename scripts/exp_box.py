@@ -16,7 +16,17 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from relaxtpu.ops.flow import _box_blur, _shift_sum
+from relaxtpu.ops.flow import _box_blur
+
+
+def _shift_sum(x, axis, count, stride, out_len):
+    """sum_{k<count} x[..., k*stride : k*stride+out_len, ...] along ``axis``."""
+    def sl(off):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(off, off + out_len)
+        return x[tuple(idx)]
+
+    return sum(sl(k * stride) for k in range(count))
 
 H, W = 540, 960
 PAIRS = 16
