@@ -37,9 +37,11 @@ This module reformulates the warp so the hot step runs on the MXU:
 
 Cost at 540p (5 planes, K=40, band=64): ~28 G-MAC per warp call — measured
 16.5 ms per 16-pair batch on a tunneled v5e (K=72: 22.4 ms) vs ~35+ ms for
-ONE XLA gather call it replaces.  Runtime is bound by the materialized
-one-hot / G intermediates, not FLOPs (window 72 -> 24 cuts FLOPs 3x but time
-only 1.5x), so K shrinks only help linearly; K=40 (margin 16 rows around the
+ONE XLA gather call it replaces.  Runtime is bound by CONSTRUCTING the
+one-hot M on the VPU (~36G iota-compare/select elements per 16-pair call),
+not FLOPs or HBM: window 72 -> 24 cuts FLOPs 3x but time only 1.5x, and
+storing G in bf16 (halving its HBM round-trip) measured 17.10 vs 17.16 ms —
+no change, so the f32 G stays.  K=40 (margin 16 rows around the
 row-block mean dy) still tracks a 2 deg/frame rotation at 960 px wide — the
 validated robustness floor (K=32 fails it; see scripts/exp_warp_cfg.py).
 Column-adaptive slabs (mean-dx folded into the dynamic slice) were measured
