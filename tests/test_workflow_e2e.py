@@ -45,10 +45,16 @@ def test_extract_train_predict_workflow(tmp_path, rng, capsys):
     meta.to_csv(meta_csv, index=False)
 
     # --- extract
+    # ingest pinned to bgr so the CLI decodes with the SAME cv2 path as the
+    # direct video_feature comparison below: the default (auto -> native
+    # decoder + device I420->BGR) differs from cv2's swscale rounding by
+    # +-1 LSB, which flips near-tie top-k patches — ingest equivalence is
+    # covered separately (test_extract_yuv_ingest_consistent, cosine-level);
+    # THIS test guards aggregation-path equality and must be like-for-like.
     out_dir = str(tmp_path / "features")
     main([
         "extract", "--dataset", "konvid_1k", "--root", str(data_root),
-        "--metadata-csv", meta_csv, "--output", out_dir,
+        "--metadata-csv", meta_csv, "--output", out_dir, "--ingest", "bgr",
     ])
     feats = np.load(f"{out_dir}/konvid_1k_features.npy")
     assert feats.shape == (4, 35203)
