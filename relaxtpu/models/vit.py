@@ -38,17 +38,20 @@ class Attention(nn.Module):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+        # Contiguous last-axis splits (the qkv weight is [q; k; v] row blocks,
+        # matching the DINO checkpoint layout) + head-dim einsums with NO
+        # explicit (0, 2, 1, 3) transposes: each relayout of the (B, N, H, D)
+        # activations was a real HBM round-trip per block; einsum lets XLA
+        # fold the head split into the dot's dimension numbers.
+        q = qkv[..., : self.dim].reshape(b, n, self.num_heads, head_dim)
+        k = qkv[..., self.dim : 2 * self.dim].reshape(b, n, self.num_heads, head_dim)
+        v = qkv[..., 2 * self.dim :].reshape(b, n, self.num_heads, head_dim)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                           preferred_element_type=jnp.float32) * (head_dim ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+        y = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                        preferred_element_type=jnp.float32).astype(self.dtype)
-        y = y.transpose(0, 2, 1, 3).reshape(b, n, c)
+        y = y.reshape(b, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(y), attn
 
 
