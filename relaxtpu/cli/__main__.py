@@ -49,12 +49,13 @@ def _build_extractor(args):
     return FeatureExtractor(rn_vars, vit_vars, dtype=dtype)
 
 
-def cmd_predict(args):
+def _load_predictor(args, extractor):
+    """Regression head + scalers -> VideoQualityPredictor (shared by
+    predict / predict-batch / serve)."""
     from relaxtpu.model.mlp import port_torch_mlp
     from relaxtpu.model.scalers import FeatureScaler
     from relaxtpu.predict import VideoQualityPredictor
 
-    extractor = _build_extractor(args)
     if args.model.endswith(".npz"):
         from relaxtpu.utils.checkpoint import load_snapshot
 
@@ -65,9 +66,15 @@ def cmd_predict(args):
 
         variables = port_torch_mlp(load_torch_checkpoint(args.model))
     scaler = FeatureScaler.load_reference_pkls(args.imputer, args.scaler)
-    predictor = VideoQualityPredictor(
-        extractor, variables, scaler, video_type=args.video_type, is_finetune=args.finetuned
+    return VideoQualityPredictor(
+        extractor, variables, scaler, video_type=args.video_type,
+        is_finetune=args.finetuned,
     )
+
+
+def cmd_predict(args):
+    extractor = _build_extractor(args)
+    predictor = _load_predictor(args, extractor)
     mos = predictor.predict_file(args.video, framerate=args.framerate,
                                  width=args.width, height=args.height,
                                  ingest=args.ingest)
@@ -131,10 +138,6 @@ def cmd_predict_batch(args):
     import glob
     import os
 
-    from relaxtpu.model.mlp import port_torch_mlp
-    from relaxtpu.model.scalers import FeatureScaler
-    from relaxtpu.predict import VideoQualityPredictor
-
     paths = []
     for v in args.videos:
         if os.path.isdir(v):
@@ -146,20 +149,7 @@ def cmd_predict_batch(args):
         raise SystemExit("no videos found")
 
     extractor = _build_extractor(args)
-    if args.model.endswith(".npz"):
-        from relaxtpu.utils.checkpoint import load_snapshot
-
-        snap = load_snapshot(args.model)
-        variables = {"params": snap.params, "batch_stats": snap.batch_stats}
-    else:
-        from relaxtpu.models.porters import load_torch_checkpoint
-
-        variables = port_torch_mlp(load_torch_checkpoint(args.model))
-    scaler = FeatureScaler.load_reference_pkls(args.imputer, args.scaler)
-    predictor = VideoQualityPredictor(
-        extractor, variables, scaler, video_type=args.video_type,
-        is_finetune=args.finetuned,
-    )
+    predictor = _load_predictor(args, extractor)
 
     def decode(path):
         if args.ingest in ("yuv", "auto") and not path.endswith(".yuv"):
@@ -246,6 +236,85 @@ def cmd_predict_batch(args):
         pd.DataFrame(rows, columns=["video", "predicted_mos"]).to_csv(
             args.output_csv, index=False
         )
+
+
+def cmd_serve(args):
+    """Persistent scoring server: JSON-lines requests on stdin, JSON-lines
+    responses on stdout (stderr carries logs).  Keeps the compiled device
+    programs, backbone weights, and regression head warm across requests —
+    the production-serving surface the reference's one-shot ``demo_test.py``
+    lacks (each invocation there pays model load + compile from scratch).
+
+    Request: ``{"video": path}`` with optional ``framerate``/``width``/
+    ``height`` (forwarded to the decoder, e.g. for raw ``.yuv``), or a bare
+    path.  Response (same order as requests): ``{"video", "predicted_mos"}``
+    or ``{"video", "error"}``.  Up to ``--in-flight`` videos stay enqueued on
+    the device while later requests decode on the host, so decode/transfer
+    of request N+1 overlaps compute of request N.  ``--warm HxW`` resolutions
+    pre-compile at startup (cold compiles cost minutes on remote-compile
+    backends).
+    """
+    import sys as _sys
+
+    extractor = _build_extractor(args)
+    predictor = _load_predictor(args, extractor)
+
+    for res in args.warm or []:
+        h, w = (int(v) for v in res.lower().split("x"))
+        rng = np.random.default_rng(0)
+        from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
+
+        frames = rng.integers(0, 256, (16, h, w, 3), dtype=np.uint8)
+        nxt = rng.integers(0, 256, (16, h, w, 3), dtype=np.uint8)
+        if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
+            np.asarray(extractor.video_feature_async_i420(
+                pack_i420(*bgr_to_yuv420(frames)), pack_i420(*bgr_to_yuv420(nxt)), h, w
+            ))
+        else:
+            np.asarray(extractor.video_feature_async(frames, frames, nxt))
+        logging.info("warmed %s", res)
+
+    pending: list = []  # (request dict, device vec | None, error | None)
+
+    def emit(req, vec, err):
+        if err is None:
+            try:
+                mos = predictor.predict_feature(np.asarray(vec))
+                out = {"video": req["video"], "predicted_mos": mos}
+            except Exception as e:  # device-side failure surfaces here
+                out = {"video": req["video"], "error": str(e)}
+        else:
+            out = {"video": req.get("video"), "error": err}
+        print(json.dumps(out), flush=True)
+
+    def drain(limit: int):
+        while len(pending) > limit:
+            emit(*pending.pop(0))
+
+    print(json.dumps({"status": "ready"}), flush=True)
+    for line in _sys.stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line) if line.startswith("{") else {"video": line}
+            if not isinstance(req, dict) or "video" not in req:
+                raise ValueError("request must be a path or {'video': path, ...}")
+        except Exception as e:
+            pending.append(({"video": None}, None, f"bad request: {e}"))
+            drain(args.in_flight)
+            continue
+        try:
+            vec = predictor.enqueue_file(
+                req["video"], framerate=req.get("framerate"),
+                width=req.get("width"), height=req.get("height"),
+                ingest=args.ingest,
+            )
+            pending.append((req, vec, None))
+        except Exception as e:
+            pending.append((req, None, str(e)))
+        drain(args.in_flight)
+    drain(0)
 
 
 def _extract_one(extractor, ablation, mode, network, layer, frames, prev, nxt):
@@ -722,6 +791,10 @@ def _apply_config(argv, subparsers) -> str | None:
         **backbone,
     )
     set_defaults(
+        subparsers["serve"],
+        video_type=ex.dataset, ingest=ex.ingest, **backbone,
+    )
+    set_defaults(
         subparsers["train"],
         dataset=ex.dataset, metadata_dir=ex.metadata_dir,
         n_repeats=tr.n_repeats, n_splits=tr.n_splits, batch_size=tr.batch_size,
@@ -795,6 +868,25 @@ def build_parser():
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_predict_batch)
     subparser_map["predict-batch"] = sp
+
+    sp = sub.add_parser(
+        "serve",
+        help="persistent scoring server: JSON-lines on stdin -> stdout, "
+        "programs/weights stay warm across requests",
+    )
+    sp.add_argument("--video-type", default="konvid_1k")
+    sp.add_argument("--model", required=True, help=".npz snapshot or reference .pth")
+    sp.add_argument("--imputer", required=True)
+    sp.add_argument("--scaler", required=True)
+    sp.add_argument("--finetuned", action="store_true")
+    sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
+    sp.add_argument("--in-flight", type=int, default=2,
+                    help="videos left enqueued on device while later requests decode")
+    sp.add_argument("--warm", nargs="*", default=None, metavar="HxW",
+                    help="resolutions to pre-compile at startup, e.g. 540x960")
+    add_backbone_flags(sp)
+    sp.set_defaults(fn=cmd_serve)
+    subparser_map["serve"] = sp
 
     sp = sub.add_parser("extract")
     sp.add_argument("--dataset", required=True)

@@ -52,15 +52,21 @@ class VideoQualityPredictor:
         vec = self.extractor.video_feature(frames, prev, nxt)
         return self.predict_feature(vec)
 
-    def predict_file(self, path: str, framerate: float | None = None,
+    def enqueue_file(self, path: str, framerate: float | None = None,
                      width: int | None = None, height: int | None = None,
-                     ingest: str = "bgr") -> float:
-        """``ingest``: 'yuv' uploads decoder-native I420 planes (half the
+                     ingest: str = "bgr"):
+        """Decode ``path`` and enqueue its whole-video feature program
+        WITHOUT blocking; returns the pending (35203,) device array (fetch
+        with np.asarray, score with :meth:`predict_feature`).  Lets serving
+        loops pipeline decode/transfer of request N+1 against device compute
+        of request N.
+
+        ``ingest``: 'yuv' uploads decoder-native I420 planes (half the
         host->device bytes; device conversion bit-matches the host converter
         — frames differ from the sws BGR decode by <=2 LSB where sws rounds
-        differently), 'bgr' converts on host (reference-decode parity, the
-        default), 'auto' prefers yuv when the native decoder + even
-        dimensions allow it."""
+        differently), 'bgr' converts on host (reference-decode parity),
+        'auto' prefers yuv when the native decoder + even dimensions allow
+        it."""
         if ingest in ("auto", "yuv") and not path.endswith(".yuv"):
             try:
                 from relaxtpu.io.video import decode_video_inputs_i420
@@ -70,10 +76,7 @@ class VideoQualityPredictor:
                     "decoded %d frames, %d pairs from %s (yuv ingest)",
                     len(fbuf), len(nbuf), path,
                 )
-                vec = np.asarray(
-                    self.extractor.video_feature_async_i420(fbuf, nbuf, h, w)
-                )
-                return self.predict_feature(vec)
+                return self.extractor.video_feature_async_i420(fbuf, nbuf, h, w)
             except Exception as e:
                 if ingest == "yuv":
                     raise
@@ -82,4 +85,12 @@ class VideoQualityPredictor:
 
         frames, prev, nxt = decode_video_inputs(path, framerate, width, height)
         log.info("decoded %d frames, %d pairs from %s", len(frames), len(prev), path)
-        return self.predict_arrays(frames, prev, nxt)
+        return self.extractor.video_feature_async(frames, prev, nxt)
+
+    def predict_file(self, path: str, framerate: float | None = None,
+                     width: int | None = None, height: int | None = None,
+                     ingest: str = "bgr") -> float:
+        """Blocking single-video path -> MOS (see :meth:`enqueue_file` for
+        the ingest contract)."""
+        vec = np.asarray(self.enqueue_file(path, framerate, width, height, ingest))
+        return self.predict_feature(vec)

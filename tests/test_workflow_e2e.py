@@ -224,3 +224,65 @@ def test_predict_batch_cli(tmp_path, rng, capsys):
     single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     batched = next(r for r in lines if r["video"].endswith("v0.mp4"))
     assert abs(single["predicted_mos"] - batched["predicted_mos"]) < 1e-3
+
+
+@pytest.mark.slow
+def test_serve_cli(tmp_path, rng, capsys, monkeypatch):
+    """serve: JSON-lines requests on stdin -> ordered JSON-lines responses,
+    with per-request error isolation (a bad path or malformed request gets
+    an error line; the server keeps scoring subsequent requests) and values
+    matching single-video predict."""
+    import io
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from relaxtpu.cli.__main__ import main
+    from relaxtpu.model.mlp import Mlp
+    from relaxtpu.model.train import ModelSnapshot
+    from relaxtpu.utils.checkpoint import save_snapshot
+
+    vdir = tmp_path / "vids"
+    vdir.mkdir()
+    for i in range(2):
+        _write_video(str(vdir / f"v{i}.mp4"), rng, n=24)
+
+    v = Mlp().init(jax.random.PRNGKey(0), jnp.zeros((2, 35203)), train=False)
+    model = str(tmp_path / "mlp.npz")
+    save_snapshot(model, ModelSnapshot(v["params"], v.get("batch_stats", {})))
+
+    ref_scaler = "/root/reference/model/scaler"
+    if not os.path.exists(f"{ref_scaler}/konvid_1k_imputer.pkl"):
+        pytest.skip("reference scaler pkls not mounted")
+
+    requests = "\n".join([
+        json.dumps({"video": str(vdir / "v0.mp4")}),
+        str(vdir / "v1.mp4"),  # bare-path request form
+        json.dumps({"video": str(vdir / "missing.mp4")}),  # decode error
+        json.dumps({"wrong_key": 1}),  # malformed request
+    ])
+    monkeypatch.setattr(sys, "stdin", io.StringIO(requests + "\n"))
+    main([
+        "serve", "--model", model,
+        "--imputer", f"{ref_scaler}/konvid_1k_imputer.pkl",
+        "--scaler", f"{ref_scaler}/konvid_1k_scaler.pkl",
+        "--in-flight", "1",
+    ])
+    lines = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0] == {"status": "ready"}
+    resp = lines[1:]
+    assert len(resp) == 4
+    assert resp[0]["video"].endswith("v0.mp4") and np.isfinite(resp[0]["predicted_mos"])
+    assert resp[1]["video"].endswith("v1.mp4") and np.isfinite(resp[1]["predicted_mos"])
+    assert resp[2]["video"].endswith("missing.mp4") and "error" in resp[2]
+    assert "error" in resp[3]
+
+    # the warm serving path scores exactly like one-shot predict
+    main([
+        "predict", "--video", str(vdir / "v0.mp4"), "--model", model,
+        "--imputer", f"{ref_scaler}/konvid_1k_imputer.pkl",
+        "--scaler", f"{ref_scaler}/konvid_1k_scaler.pkl",
+    ])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(single["predicted_mos"] - resp[0]["predicted_mos"]) < 1e-3
