@@ -63,7 +63,7 @@ _CB = 128  # output column-block (lane tile)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("band", "window", "precision", "col_adaptive")
+    jax.jit, static_argnames=("band", "window", "precision", "col_adaptive", "m_form")
 )
 def warp_planes_banded_xla(
     planes: jax.Array,
@@ -72,6 +72,7 @@ def warp_planes_banded_xla(
     window: int = 40,
     precision=jax.lax.Precision.DEFAULT,
     col_adaptive: bool = False,
+    m_form: str = "select",
 ) -> jax.Array:
     """Bilinear-warp ``planes`` (C, H, W) by ``flow`` (2, H, W) -> (C, H, W).
 
@@ -90,6 +91,14 @@ def warp_planes_banded_xla(
     of any magnitude then stay exact and ``band`` only needs to cover the
     WITHIN-row-block spread of dx (zoom/rotation shear), so it can shrink —
     the matmul contraction length is CB + 2*band.
+
+    ``m_form`` selects how the one-hot interpolation masks are built (the
+    warp's measured bound is this VPU construction, not the matmul):
+    'select' = two int compares + two selects + add; 'tent' = recompose the
+    clipped corner index with the fraction and evaluate the bilinear weight
+    as a tent function ``max(1 - |u - (xi + t)|, 0)`` — ONE fused f32
+    elementwise chain, no compares/selects.  Identical results up to one f32
+    rounding (the corner clamp and fraction are shared by construction).
     """
     c, h, w = planes.shape
     k = max(_B, min(window, h))
@@ -152,8 +161,9 @@ def warp_planes_banded_xla(
     else:
         dx_base = jnp.zeros((nb,), jnp.int32)
 
-    u_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cbh, 1), 2)
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+    iota_dt = jnp.float32 if m_form == "tent" else jnp.int32
+    u_iota = jax.lax.broadcasted_iota(iota_dt, (1, 1, cbh, 1), 2)
+    r_iota = jax.lax.broadcasted_iota(iota_dt, (1, 1, k, 1), 2)
     cstart_arr = jnp.asarray(cstarts, jnp.int32)[None, :, None]
 
     def body(_, xs_blk):
@@ -166,9 +176,12 @@ def warp_planes_banded_xla(
 
         xi_loc = jnp.clip(xi_k - dxb - cstart_arr, 0, cbh - 2)[:, :, None, :]
         txe = tx_k[:, :, None, :]
-        m = jnp.where(u_iota == xi_loc, 1.0 - txe, 0.0) + jnp.where(
-            u_iota == xi_loc + 1, txe, 0.0
-        )  # (B, ncb, CBh, CB)
+        if m_form == "tent":
+            m = jnp.maximum(1.0 - jnp.abs(u_iota - (xi_loc.astype(jnp.float32) + txe)), 0.0)
+        else:
+            m = jnp.where(u_iota == xi_loc, 1.0 - txe, 0.0) + jnp.where(
+                u_iota == xi_loc + 1, txe, 0.0
+            )  # (B, ncb, CBh, CB)
 
         # Explicit bf16 staging of m/win_c/G was measured and REVERTED: at
         # DEFAULT precision XLA already feeds the dot bf16 operands, so
@@ -184,9 +197,12 @@ def warp_planes_banded_xla(
 
         yl = jnp.clip(yi_k - rstart, 0, k - 2)[:, :, None, :]
         tye = ty_k[:, :, None, :]
-        wv = jnp.where(r_iota == yl, 1.0 - tye, 0.0) + jnp.where(
-            r_iota == yl + 1, tye, 0.0
-        )  # (B, ncb, K, CB)
+        if m_form == "tent":
+            wv = jnp.maximum(1.0 - jnp.abs(r_iota - (yl.astype(jnp.float32) + tye)), 0.0)
+        else:
+            wv = jnp.where(r_iota == yl, 1.0 - tye, 0.0) + jnp.where(
+                r_iota == yl + 1, tye, 0.0
+            )  # (B, ncb, K, CB)
         out = jnp.einsum("inrj,inprj->inpj", wv, g)  # (B, ncb, C, CB)
         return None, out
 
@@ -364,6 +380,7 @@ def warp_planes_banded(
     band: int = 64,
     window: int = 40,
     precision=jax.lax.Precision.DEFAULT,
+    m_form: str = "select",
 ) -> jax.Array:
     """Banded bilinear warp — XLA scan formulation.
 
@@ -374,4 +391,6 @@ def warp_planes_banded(
     wins until those change, so it is the only dispatch target; the kernel
     stays as the measured alternative (interpret-validated in tests).
     """
-    return warp_planes_banded_xla(planes, flow, band=band, window=window, precision=precision)
+    return warp_planes_banded_xla(
+        planes, flow, band=band, window=window, precision=precision, m_form=m_form
+    )

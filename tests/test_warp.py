@@ -100,6 +100,27 @@ def test_xla_banded_exact_for_large_zoom(rng):
     np.testing.assert_allclose(got, want, atol=2e-2)
 
 
+def test_tent_m_form_matches_select(rng):
+    """The tent construction (one fused f32 chain, no compares/selects) must
+    match the select form up to one f32 rounding — including where the corner
+    clamp engages (out-of-band columns, beyond-margin rows)."""
+    c, h, w = 5, 96, 256
+    planes = rng.normal(0, 50, (c, h, w)).astype(np.float32)
+    for sigma, clip in ((5.0, 12.0), (40.0, None)):  # in-band and clamped
+        flow = rng.normal(0, sigma, (2, h, w)).astype(np.float32)
+        if clip is not None:
+            flow[1] = np.clip(flow[1], -clip, clip)
+        want = np.asarray(
+            warp_planes_banded_xla(jnp.asarray(planes), jnp.asarray(flow))
+        )
+        got = np.asarray(
+            warp_planes_banded_xla(
+                jnp.asarray(planes), jnp.asarray(flow), m_form="tent"
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=5e-4)
+
+
 def test_out_of_image_is_finite_everywhere(rng):
     planes = rng.normal(0, 50, (5, 64, 128)).astype(np.float32)
     flow = rng.normal(0, 200, (2, 64, 128)).astype(np.float32)  # mostly outside
