@@ -180,6 +180,9 @@ def main():
         )
     timed("warp shipped (warp_planes_banded_xla)",
           jax.vmap(lambda p, f: warp_planes_banded_xla(p, f)), planes, fl)
+    timed("warp shipped m_form=tent",
+          jax.vmap(lambda p, f: warp_planes_banded_xla(p, f, m_form="tent")),
+          planes, fl)
 
 
 if __name__ == "__main__":
