@@ -136,7 +136,10 @@ def test_pallas_interpret_matches_xla(rng):
     # rounds to 8-row multiples; the XLA default is now 40)
     want = np.asarray(warp_planes_banded_xla(planes, flow, window=72))
     got = np.asarray(warp_planes_banded_pallas(planes, flow, interpret=True))
-    np.testing.assert_allclose(got, want, atol=1e-3)
+    # rtol absorbs compile-variant rounding: the persistent XLA cache can load
+    # an executable fused differently from a fresh compile (plane values ~200,
+    # so pure atol=1e-3 flaked on a 6e-6 relative deviation in full-suite runs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
 
 def test_pallas_interpret_vmap(rng):
