@@ -92,37 +92,44 @@ def cmd_warmup(args):
     lists the padded counts to warm (default 8 16 32 covers clips up to ~16 s
     at 30 fps; counts are rounded up to the bucket).
     """
+    for rec in _warm_programs(
+        _build_extractor(args), args.resolutions, args.counts, args.bucket,
+        args.ingest,
+    ):
+        print(json.dumps(rec))
+
+
+def _warm_programs(extractor, resolutions, counts, bucket, ingest):
+    """Compile the whole-video programs for every (resolution, padded count)
+    shape; yields one record per shape (shared by ``warmup`` and ``serve``)."""
     import time
 
     from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
 
-    extractor = _build_extractor(args)
-    bucket = args.bucket
-    counts = sorted({-(-int(c) // bucket) * bucket for c in args.counts})
-    for res in args.resolutions:
+    padded = sorted({-(-int(c) // bucket) * bucket for c in counts})
+    for res in resolutions:
         h, w = (int(v) for v in res.lower().split("x"))
         rng = np.random.default_rng(0)
-        for count in counts:
+        for count in padded:
             frames = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
             nxt = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
             t0 = time.perf_counter()
-            if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
+            if ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
                 fbuf = pack_i420(*bgr_to_yuv420(frames))
                 nbuf = pack_i420(*bgr_to_yuv420(nxt))
                 np.asarray(
                     extractor.video_feature_async_i420(fbuf, nbuf, h, w, bucket=bucket)
                 )
-            if args.ingest in ("bgr", "auto"):
+            if ingest in ("bgr", "auto"):
                 np.asarray(
                     extractor.video_feature_async(
                         frames, frames[: len(nxt)], nxt, bucket=bucket
                     )
                 )
-            dt = time.perf_counter() - t0
-            print(json.dumps({
+            yield {
                 "resolution": res, "frames": count, "bucket": bucket,
-                "compile_s": round(dt, 1),
-            }))
+                "compile_s": round(time.perf_counter() - t0, 1),
+            }
 
 
 def cmd_predict_batch(args):
@@ -208,9 +215,13 @@ def cmd_predict_batch(args):
                 drain_stream(2)
         drain_stream(0)
     else:
+        # A mesh batch shards videos over the data axis: dispatching fewer
+        # than n_data videos pads with duplicates that every device computes
+        # and a slice discards, so the mesh path floors its dispatch size.
+        step = max(args.batch, 1, (n_data or 1) if evaluator is not None else 1)
         for (h, w), items in groups.items():
-            for i in range(0, len(items), max(args.batch, 1)):
-                chunk = items[i : i + max(args.batch, 1)]
+            for i in range(0, len(items), step):
+                chunk = items[i : i + step]
                 batch_fn = (
                     evaluator.videos_batch_feature_i420
                     if evaluator is not None
@@ -259,20 +270,12 @@ def cmd_serve(args):
     extractor = _build_extractor(args)
     predictor = _load_predictor(args, extractor)
 
-    for res in args.warm or []:
-        h, w = (int(v) for v in res.lower().split("x"))
-        rng = np.random.default_rng(0)
-        from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
-
-        frames = rng.integers(0, 256, (16, h, w, 3), dtype=np.uint8)
-        nxt = rng.integers(0, 256, (16, h, w, 3), dtype=np.uint8)
-        if args.ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
-            np.asarray(extractor.video_feature_async_i420(
-                pack_i420(*bgr_to_yuv420(frames)), pack_i420(*bgr_to_yuv420(nxt)), h, w
-            ))
-        else:
-            np.asarray(extractor.video_feature_async(frames, frames, nxt))
-        logging.info("warmed %s", res)
+    if args.warm:
+        # each bucketed frame count is its own program shape (see cmd_warmup)
+        for rec in _warm_programs(
+            extractor, args.warm, args.warm_counts, 8, args.ingest
+        ):
+            logging.info("warmed %s", rec)
 
     pending: list = []  # (request dict, device vec | None, error | None)
 
@@ -884,6 +887,9 @@ def build_parser():
                     help="videos left enqueued on device while later requests decode")
     sp.add_argument("--warm", nargs="*", default=None, metavar="HxW",
                     help="resolutions to pre-compile at startup, e.g. 540x960")
+    sp.add_argument("--warm-counts", nargs="*", type=int, default=(8, 16, 32),
+                    help="padded frame/pair counts to pre-compile per "
+                    "resolution (each bucketed count is a distinct program)")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_serve)
     subparser_map["serve"] = sp

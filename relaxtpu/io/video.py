@@ -24,6 +24,11 @@ import os
 import numpy as np
 
 
+def _clean_meta(v):
+    """None for absent metadata values (pandas rows carry NaN, not None)."""
+    return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
+
+
 def frame_interval_for(framerate: float) -> int:
     if framerate < 2:
         return math.ceil(framerate / 2)
@@ -210,6 +215,7 @@ def decode_sampled_frames(
 ) -> np.ndarray:
     """Sampled full frames -> (B, H, W, 3) uint8 BGR."""
     is_yuv = path.endswith(".yuv")
+    framerate = _clean_meta(framerate)
     if framerate is None:
         framerate = probe_video(path)["framerate"]
     interval = frame_interval_for(framerate)
@@ -236,6 +242,7 @@ def decode_video_inputs(
     (``process_video`` + ``process_video_residual``).
     """
     is_yuv = path.endswith(".yuv")
+    framerate = _clean_meta(framerate)
     if framerate is None:
         framerate = probe_video(path)["framerate"]
     interval = frame_interval_for(framerate)
@@ -289,14 +296,11 @@ def decode_video_inputs_i420(
     if not native.available():
         raise RuntimeError("YUV ingest requires the native decoder (native/build.sh)")
     info = probe_video(path)
+    framerate = _clean_meta(framerate)
     if framerate is None:
         framerate = info["framerate"]
     interval = frame_interval_for(framerate)
-
-    def _clean(v):  # pandas metadata rows may carry NaN for absent values
-        return None if v is None or (isinstance(v, float) and math.isnan(v)) else v
-
-    width, height = _clean(width), _clean(height)
+    width, height = _clean_meta(width), _clean_meta(height)
     if (width is not None and int(width) != info["width"]) or (
         height is not None and int(height) != info["height"]
     ):
@@ -326,6 +330,7 @@ def decode_frame_pairs(
 ) -> tuple[np.ndarray, np.ndarray]:
     """(prev, next) sampled pairs -> two (B, H, W, 3) uint8 BGR arrays."""
     is_yuv = path.endswith(".yuv")
+    framerate = _clean_meta(framerate)
     if framerate is None:
         framerate = probe_video(path)["framerate"]
     interval = frame_interval_for(framerate)

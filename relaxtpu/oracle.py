@@ -53,6 +53,26 @@ _IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
 
 
 # --------------------------------------------------------------- torch models
+def _load_covering(model, state_dict) -> None:
+    """Load ``state_dict``, requiring it to COVER the model.
+
+    Real checkpoints carry extras the oracle doesn't define (torchvision's
+    ``fc.*``, DINO's head keys) — those are fine to skip.  A key the model
+    needs but the checkpoint lacks would silently leave seeded-random weights
+    in an oracle whose whole premise is sharing the pipeline's weights, so
+    missing keys raise instead.
+    """
+    import torch
+
+    missing, _unexpected = model.load_state_dict(
+        {k: torch.as_tensor(v) for k, v in state_dict.items()}, strict=False
+    )
+    if missing:
+        raise ValueError(
+            f"oracle checkpoint does not cover the model; missing keys: {missing}"
+        )
+
+
 def build_torch_resnet50(state_dict=None, seed: int = 0):
     """torchvision-naming ResNet-50 that returns every tap in one forward.
 
@@ -121,9 +141,7 @@ def build_torch_resnet50(state_dict=None, seed: int = 0):
     torch.manual_seed(seed)
     model = ResNet50Taps().eval()
     if state_dict is not None:
-        model.load_state_dict(
-            {k: torch.as_tensor(v) for k, v in state_dict.items()}, strict=False
-        )
+        _load_covering(model, state_dict)
     else:
         gen = torch.Generator().manual_seed(seed)
         with torch.no_grad():
@@ -190,9 +208,7 @@ def build_torch_vit(state_dict=None, depth: int = 12, seed: int = 0):
     torch.manual_seed(seed)
     model = ViTTokens().eval()
     if state_dict is not None:
-        model.load_state_dict(
-            {k: torch.as_tensor(v) for k, v in state_dict.items()}, strict=False
-        )
+        _load_covering(model, state_dict)
     return model
 
 

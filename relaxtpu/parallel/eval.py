@@ -167,11 +167,17 @@ class ShardedVideoEvaluator:
         """
         n_data = self.mesh.shape["data"]
         out_map: dict[int, np.ndarray] = {}
+        emitted = 0
 
         def emit(i: int, vec: np.ndarray):
+            # on_result fires in INPUT order on every branch: the multi-device
+            # path finishes BGR singles while i420 batches are still grouped,
+            # so completions are buffered until their predecessors land.
+            nonlocal emitted
             out_map[i] = vec
-            if on_result:
-                on_result(i, vec)
+            while on_result and emitted in out_map:
+                on_result(emitted, out_map[emitted])
+                emitted += 1
 
         with cf.ThreadPoolExecutor(max_workers=self.decode_workers) as pool:
             futures = [pool.submit(decode_fn, v) for v in videos]

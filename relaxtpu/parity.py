@@ -140,6 +140,30 @@ def head_parity(
     return ParityReport(len(diff), float(diff.max()), float(diff.mean()), HEAD_TOL)
 
 
+def synthetic_correlated_video(rng, n_frames: int, h: int, w: int):
+    """Temporally-correlated (frames, next) so flow/fragments do real work.
+
+    The ONE generator behind both ``feature_parity`` and
+    tests/test_e2e_parity.py — docs/PARITY.md's accepted tolerances were
+    measured on exactly this content, so the CLI check and the test must
+    not drift apart.
+    """
+    import cv2
+
+    base = cv2.GaussianBlur(
+        rng.integers(0, 256, (h + 24, w + 24, 3), dtype=np.uint8).astype(np.float32),
+        (0, 0), 2,
+    )
+    chain = []
+    for i in range(2 * n_frames):
+        ox, oy = int(8 + 6 * np.sin(i / 3)), int(8 + 5 * np.cos(i / 4))
+        chain.append(np.clip(
+            base[oy : oy + h, ox : ox + w] + rng.normal(0, 6, (h, w, 3)), 0, 255
+        ).astype(np.uint8))
+    chain = np.stack(chain)
+    return np.ascontiguousarray(chain[0::2]), np.ascontiguousarray(chain[1::2])
+
+
 def feature_parity(
     video: str | None,
     resnet_weights: str | None = None,
@@ -188,22 +212,9 @@ def feature_parity(
         frames, nxt = frames[:n_frames], nxt[:n_frames]
         prev = frames[: len(nxt)]
     else:
-        import cv2
-
-        rng = np.random.default_rng(0)
-        h, w = 120, 160
-        base = cv2.GaussianBlur(
-            rng.integers(0, 256, (h + 24, w + 24, 3), dtype=np.uint8).astype(np.float32),
-            (0, 0), 2,
+        frames, nxt = synthetic_correlated_video(
+            np.random.default_rng(0), n_frames, 120, 160
         )
-        chain = []
-        for i in range(2 * n_frames):
-            ox, oy = int(8 + 6 * np.sin(i / 3)), int(8 + 5 * np.cos(i / 4))
-            chain.append(np.clip(
-                base[oy : oy + h, ox : ox + w] + rng.normal(0, 6, (h, w, 3)), 0, 255
-            ).astype(np.uint8))
-        chain = np.stack(chain)
-        frames, nxt = np.ascontiguousarray(chain[0::2]), np.ascontiguousarray(chain[1::2])
         prev = frames[: len(nxt)]
 
     ours = fx.video_feature(frames, prev, nxt)

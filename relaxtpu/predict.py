@@ -92,5 +92,13 @@ class VideoQualityPredictor:
                      ingest: str = "bgr") -> float:
         """Blocking single-video path -> MOS (see :meth:`enqueue_file` for
         the ingest contract)."""
-        vec = np.asarray(self.enqueue_file(path, framerate, width, height, ingest))
+        try:
+            vec = np.asarray(self.enqueue_file(path, framerate, width, height, ingest))
+        except Exception as e:
+            # Device-side yuv-program failures surface only at fetch (the
+            # enqueue is async); 'auto' promises a bgr retry for those too.
+            if ingest != "auto":
+                raise
+            log.warning("auto-ingest fetch failed (%s); retrying via bgr", e)
+            vec = np.asarray(self.enqueue_file(path, framerate, width, height, "bgr"))
         return self.predict_feature(vec)

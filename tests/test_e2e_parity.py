@@ -37,23 +37,8 @@ TOLERANCES = {
 }
 
 
-def _synthetic_video(rng, n_frames, h, w):
-    """Temporally-correlated frames so flow/fragments do real work."""
-    base = cv2.GaussianBlur(
-        rng.integers(0, 256, (h + 24, w + 24, 3), dtype=np.uint8).astype(np.float32),
-        (0, 0), 2,
-    )
-    chain = []
-    for i in range(2 * n_frames):
-        ox, oy = int(8 + 6 * np.sin(i / 3)), int(8 + 5 * np.cos(i / 4))
-        f = np.clip(
-            base[oy : oy + h, ox : ox + w] + rng.normal(0, 6, (h, w, 3)), 0, 255
-        )
-        chain.append(f.astype(np.uint8))
-    chain = np.stack(chain)
-    frames = np.ascontiguousarray(chain[0::2])
-    nxt = np.ascontiguousarray(chain[1::2])
-    return frames, nxt
+# the one shared generator — PARITY.md tolerances were measured on it
+from relaxtpu.parity import synthetic_correlated_video as _synthetic_video  # noqa: E402
 
 
 @pytest.fixture(scope="module")

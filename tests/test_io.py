@@ -82,6 +82,30 @@ def test_decode_sampled_frames_and_pairs(clip):
     assert not np.array_equal(prev[0], nxt[0])
 
 
+def test_nan_framerate_falls_back_to_probe(clip):
+    """pandas metadata rows carry NaN (not None) for absent framerate; every
+    decode entry point must treat it as 'probe the container' rather than
+    computing int(nan/2)."""
+    from relaxtpu.io.video import (
+        decode_frame_pairs,
+        decode_sampled_frames,
+        decode_video_inputs,
+        decode_video_inputs_i420,
+    )
+
+    nan = float("nan")
+    assert decode_sampled_frames(clip, framerate=nan).shape[0] == 4
+    frames, prev, nxt = decode_video_inputs(clip, framerate=nan)
+    assert frames.shape[0] == 4 and nxt.shape[0] == 4
+    prev2, nxt2 = decode_frame_pairs(clip, framerate=nan)
+    assert prev2.shape[0] == 4
+    try:
+        fbuf, nbuf, h, w = decode_video_inputs_i420(clip, framerate=nan)
+        assert len(fbuf) == 4 and len(nbuf) == 4
+    except RuntimeError:
+        pass  # native decoder not built in this checkout
+
+
 def test_probe_video_metadata_fields(clip):
     from relaxtpu.io.video import probe_video
 

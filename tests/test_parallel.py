@@ -91,8 +91,12 @@ def test_sharded_evaluator_run_matches_single_device(rng):
     ]
     mesh = make_mesh(n_data=2, n_model=1, platform="cpu")
     ev = ShardedVideoEvaluator(fx, mesh, decode_workers=2)
-    got = ev.run(videos, decode)
+    seen: list[int] = []
+    got = ev.run(videos, decode, on_result=lambda i, _vec: seen.append(i))
     assert len(got) == 3
+    # the BGR single (index 1) finishes while i420 batches are still grouped;
+    # on_result must still fire in input order
+    assert seen == [0, 1, 2]
 
     want = []
     for v in videos:
