@@ -256,21 +256,18 @@ def _fine_tune_once(base, trainer: MlpTrainer, x_tr, y_tr, cfg: TrainConfig, see
     y_tr_dev = jnp.asarray(y_tr, jnp.float32)
     swa_start = int(cfg.epochs * cfg.swa_start_frac) if cfg.use_swa else cfg.epochs
     swa_params, swa_n = None, 0
-    lr_at_swa_start = None
     key = jax.random.PRNGKey(seed)
 
-    from relaxtpu.model.train import _cosine_lr, _step_lr, _swa_lr
+    from relaxtpu.model.train import reference_lr_sequence
 
+    epoch_lrs = reference_lr_sequence(cfg)
+    # the reference fine-tune loader is shuffle=False (fine_tune.py:142) —
+    # every epoch sees the SAME batch grouping (rank-loss pairs included)
+    perm = np.arange(len(x_tr))
     for epoch in range(cfg.epochs):
-        lr = _cosine_lr(cfg, epoch) if cfg.optimizer_type == "sgd" else _step_lr(cfg, epoch)
-        if cfg.use_swa and epoch >= swa_start:
-            if lr_at_swa_start is None:
-                lr_at_swa_start = lr
-            lr = _swa_lr(cfg, lr_at_swa_start, epoch - swa_start)
-        opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
-        perm = rng.permutation(len(x_tr))
-        # on-device epoch scan (same shuffle + dropout key sequence as the
-        # per-batch loop it replaces — see MlpTrainer.train_epoch)
+        opt_state.hyperparams["lr"] = jnp.asarray(epoch_lrs[epoch], jnp.float32)
+        # on-device epoch scan (same batch order + dropout key sequence as
+        # the per-batch loop it replaces — see MlpTrainer.train_epoch)
         params, batch_stats, opt_state, _, key = trainer.train_epoch(
             params, batch_stats, opt_state, x_tr_dev, y_tr_dev, perm, key
         )

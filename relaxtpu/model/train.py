@@ -66,20 +66,44 @@ class TrainConfig:
     seed: int = 0
 
 
-def _cosine_lr(cfg: TrainConfig, epoch: int) -> float:
-    return cfg.eta_min + (cfg.initial_lr - cfg.eta_min) * (
-        1 + math.cos(math.pi * epoch / cfg.epochs)
-    ) / 2
+def reference_lr_sequence(cfg: TrainConfig, swa_start_frac: float | None = None) -> list[float]:
+    """The lr actually used during each epoch by the reference loop.
 
-
-def _step_lr(cfg: TrainConfig, epoch: int) -> float:
-    return cfg.initial_lr * (0.95 ** (epoch // 2))
-
-
-def _swa_lr(cfg: TrainConfig, lr_at_start: float, t: int) -> float:
-    k = cfg.swa_anneal_epochs
-    tau = min(t, k) / k
-    return cfg.initial_lr + (lr_at_start - cfg.initial_lr) * (1 + math.cos(math.pi * tau)) / 2
+    The reference steps its base scheduler (CosineAnnealingLR for sgd,
+    StepLR(2, 0.95) otherwise) after EVERY epoch, and additionally steps
+    SWALR(swa_lr=initial_lr, cos anneal) once SWA engages
+    (``model_regression.py:408-416``, ``fine_tune.py:175-179`` — note the
+    torch SWA recipe would use if/else; the reference runs BOTH).  torch
+    schedulers are stateful recurrences over the CURRENT group lr, so the two
+    couple: each SWALR step un-mixes its own previous interpolation from an
+    lr the base scheduler has meanwhile moved.  The composite makes the
+    SWA-phase lr dip before climbing back toward initial_lr — nothing like a
+    clean anneal.  This simulates the exact recurrences (pinned step-for-step
+    against real torch schedulers in tests/test_train_dynamics.py).
+    """
+    frac = cfg.swa_start_frac if swa_start_frac is None else swa_start_frac
+    swa_start = int(cfg.epochs * frac) if cfg.use_swa else cfg.epochs
+    k = max(1, cfg.swa_anneal_epochs)
+    anneal = lambda t: (1 - math.cos(math.pi * min(max(t, 0.0), 1.0))) / 2  # noqa: E731
+    lrs = []
+    lr = cfg.initial_lr
+    for e in range(cfg.epochs):
+        lrs.append(lr)
+        # base scheduler step (torch recurrence reading the current lr)
+        if cfg.optimizer_type == "sgd":  # CosineAnnealingLR(T_max=epochs)
+            num = 1 + math.cos(math.pi * (e + 1) / cfg.epochs)
+            den = 1 + math.cos(math.pi * e / cfg.epochs)
+            lr = num / den * (lr - cfg.eta_min) + cfg.eta_min
+        elif (e + 1) % 2 == 0:  # StepLR(step_size=2, gamma=0.95)
+            lr = lr * 0.95
+        if cfg.use_swa and e >= swa_start:  # SWALR.step(), s = 1, 2, ...
+            s = e - swa_start + 1
+            swa_lr = cfg.initial_lr  # the reference passes swa_lr=initial_lr
+            prev_alpha = anneal((s - 1) / k)
+            base = swa_lr if prev_alpha == 1 else (lr - prev_alpha * swa_lr) / (1 - prev_alpha)
+            alpha = anneal(s / k)
+            lr = swa_lr * alpha + base * (1 - alpha)
+    return lrs
 
 
 def _make_tx(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -338,7 +362,7 @@ def train_and_evaluate(
 
         swa_params = None
         swa_n = 0
-        lr_at_swa_start = None
+        epoch_lrs = reference_lr_sequence(cfg)
 
         train_losses: list[float] = []
         val_losses: list[float] = []
@@ -347,16 +371,8 @@ def train_and_evaluate(
         early_stop_active = False
 
         for epoch in range(cfg.epochs):
-            # ---- learning rate (cosine / step; SWALR overrides after start)
-            if cfg.optimizer_type == "sgd":
-                lr = _cosine_lr(cfg, epoch)
-            else:
-                lr = _step_lr(cfg, epoch)
-            if cfg.use_swa and epoch >= swa_start:
-                if lr_at_swa_start is None:
-                    lr_at_swa_start = lr
-                lr = _swa_lr(cfg, lr_at_swa_start, epoch - swa_start)
-            opt_state.hyperparams["lr"] = jnp.asarray(lr, jnp.float32)
+            # ---- learning rate (the reference's coupled scheduler sequence)
+            opt_state.hyperparams["lr"] = jnp.asarray(epoch_lrs[epoch], jnp.float32)
 
             # ---- one epoch (device-side scan over batches; same shuffle,
             # same per-step dropout key sequence as the loop it replaced)
