@@ -538,9 +538,25 @@ def cmd_train(args):
     grey = _grey_indices_for(args, args.dataset)
     if grey:
         logging.info("dropping %d greyscale videos", len(grey))
+    progress = print
+    if args.artifacts_dir:
+        # reference-style run log: hyperparameters + per-repeat results into
+        # a file (ref model_regression.py:240-259 writes ../log/*_mlp.log)
+        from relaxtpu.utils.logging import setup_logger
+
+        os.makedirs(args.artifacts_dir, exist_ok=True)
+        run_log = setup_logger(
+            "relaxtpu.train", os.path.join(args.artifacts_dir, "train.log")
+        )
+        run_log.info("config: %s", cfg)
+
+        def progress(msg):  # noqa: F811 — tee to stdout and the run log
+            print(msg)
+            run_log.info(msg)
+
     median, median_val, results = run_repeated_holdout(
-        df, features, cfg, grey_indices=grey, progress=print,
-        resume_dir=args.resume_dir,
+        df, features, cfg, grey_indices=grey, progress=progress,
+        resume_dir=args.resume_dir, artifacts_dir=args.artifacts_dir,
     )
     save_snapshot(args.output, median.snapshot)
     print(json.dumps({
@@ -620,7 +636,7 @@ def cmd_greyscale(args):
 def cmd_finetune(args):
     import pandas as pd
 
-    from relaxtpu.model.protocol import FineTuneConfig, fine_tune
+    from relaxtpu.model.protocol import FineTuneConfig, fine_tune, zero_shot_eval
     from relaxtpu.model.train import MlpTrainer, TrainConfig
     from relaxtpu.utils.checkpoint import load_snapshot, save_snapshot
 
@@ -630,9 +646,21 @@ def cmd_finetune(args):
     base = load_snapshot(args.base_model)
     trainer = MlpTrainer(TrainConfig(use_bn=not args.no_bn), features.shape[1])
     ft = FineTuneConfig(n_repeats=args.n_repeats, epochs=args.epochs)
+    mos_is_1_5 = args.dataset in ("konvid_1k", "youtube_ugc")
+    if args.zero_shot:
+        # w/o-fine-tune evaluation (ref fine_tune.py:216-258): score the base
+        # model on the target's 21 test splits, no adaptation, no new model
+        median, results = zero_shot_eval(
+            base, trainer, features, y, ft, mos_is_1_5=mos_is_1_5, progress=print
+        )
+        print(json.dumps({
+            "median_srcc": float(np.median([r.srcc for r in results])),
+            "median_rmse": float(np.median([r.rmse for r in results])),
+            "zero_shot": True,
+        }))
+        return
     median, results = fine_tune(
-        base, trainer, features, y, ft,
-        mos_is_1_5=args.dataset in ("konvid_1k", "youtube_ugc"), progress=print,
+        base, trainer, features, y, ft, mos_is_1_5=mos_is_1_5, progress=print,
     )
     save_snapshot(args.output, median.snapshot)
     print(json.dumps({
@@ -640,6 +668,49 @@ def cmd_finetune(args):
         "median_rmse": float(np.median([r.rmse for r in results])),
         "model": args.output,
     }))
+
+
+def cmd_report(args):
+    """Cross-method results table from reference-format training logs and
+    VSFA ``.npy`` results, optionally side-by-side with the reference's
+    published numbers (ref ``reported_result.ipynb``)."""
+    import pandas as pd
+
+    from relaxtpu.utils.report import (
+        REFERENCE_INTRA_DATASET,
+        against_baseline,
+        competitor_table,
+        parse_vsfa_npy,
+    )
+
+    log_paths: dict = {}
+    for spec in args.log:
+        try:
+            method, ds, path = spec.split("=", 2)
+        except ValueError:
+            raise SystemExit(f"--log wants METHOD=DATASET=PATH, got: {spec}")
+        log_paths.setdefault(method, {})[ds] = path
+    df = competitor_table(log_paths) if log_paths else pd.DataFrame(
+        columns=["method", "dataset"]
+    )
+    vsfa_rows = []
+    for spec in args.vsfa_npy:
+        try:
+            ds, path = spec.split("=", 1)
+        except ValueError:
+            raise SystemExit(f"--vsfa-npy wants DATASET=PATH, got: {spec}")
+        vsfa_rows.append({"method": "VSFA", "dataset": ds, **{
+            k: v for k, v in parse_vsfa_npy(path).items() if k != "n_test"
+        }})
+    if vsfa_rows:
+        df = pd.concat([df, pd.DataFrame(vsfa_rows)], ignore_index=True)
+    if args.with_baseline:
+        df = against_baseline(df, REFERENCE_INTRA_DATASET)
+    if df.empty:
+        raise SystemExit("nothing to report: pass --log/--vsfa-npy/--with-baseline")
+    print(df.to_string(index=False))
+    if args.output_csv:
+        df.to_csv(args.output_csv, index=False)
 
 
 def cmd_visualize(args):
@@ -950,6 +1021,10 @@ def build_parser():
     sp.add_argument("--greyscale-report", default=None,
                     help="greyscale report csv (auto-located for youtube_ugc)")
     sp.add_argument("--resume-dir", default=None, help="per-repeat checkpoint dir")
+    sp.add_argument("--artifacts-dir", default=None,
+                    help="write the reference's run artifacts here: train.log "
+                    "(hyperparams + per-repeat results), per-repeat loss "
+                    "curves, median-repeat logistic-fit scatter")
     sp.set_defaults(fn=cmd_train)
     subparser_map["train"] = sp
 
@@ -987,8 +1062,25 @@ def build_parser():
     sp.add_argument("--n-repeats", type=int, default=21)
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--no-bn", action="store_true")
+    sp.add_argument("--zero-shot", action="store_true",
+                    help="evaluate the base model on the target's 21 test "
+                    "splits WITHOUT fine-tuning (ref fine_tune.py:216-258)")
     sp.set_defaults(fn=cmd_finetune)
     subparser_map["finetune"] = sp
+
+    sp = sub.add_parser(
+        "report",
+        help="results tables from run logs (ref reported_result.ipynb)",
+    )
+    sp.add_argument("--log", action="append", default=[], metavar="METHOD=DATASET=PATH",
+                    help="reference-format training log to parse (repeatable)")
+    sp.add_argument("--vsfa-npy", action="append", default=[], metavar="DATASET=PATH",
+                    help="VSFA results .npy to parse (repeatable)")
+    sp.add_argument("--with-baseline", action="store_true",
+                    help="append the reference's published intra-dataset rows")
+    sp.add_argument("--output-csv", default=None)
+    sp.set_defaults(fn=cmd_report)
+    subparser_map["report"] = sp
 
     sp = sub.add_parser("visualize")
     sp.add_argument("--frame", required=True, help="original frame PNG")

@@ -155,7 +155,3 @@ def metadata_from_csv(
     return pd.DataFrame(rows, columns=_COLUMNS)
 
 
-def write_metadata_csv(video_dir: str, out_csv: str) -> pd.DataFrame:
-    df = extract_metadata(video_dir)
-    df.to_csv(out_csv, index=False)
-    return df

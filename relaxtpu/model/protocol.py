@@ -45,6 +45,7 @@ def run_repeated_holdout(
     grey_indices=None,
     progress: Callable[[str], None] = log.info,
     resume_dir: str | None = None,
+    artifacts_dir: str | None = None,
 ) -> tuple[RepeatResult, float, list[RepeatResult]]:
     """21x {80/20 holdout -> 10-fold CV training -> test metrics}; median model.
 
@@ -54,11 +55,18 @@ def run_repeated_holdout(
     ``resume_dir``: persist each repeat's snapshot+metrics; completed repeats
     are skipped on restart (the reference restarts the whole 21x protocol on
     a crash — SURVEY §5 failure handling).
+
+    ``artifacts_dir``: write the reference's run artifacts — per-repeat
+    loss-curve figures and the median repeat's logistic-fit scatter
+    (ref ``plot_and_save_losses``/``plot_results``,
+    ``model_regression.py:163-238``).
     """
     import os
 
     results: list[RepeatResult] = []
     trainer: MlpTrainer | None = None
+    if artifacts_dir:
+        os.makedirs(artifacts_dir, exist_ok=True)
     for i in range(1, cfg.n_repeats + 1):
         if resume_dir:
             ck = os.path.join(resume_dir, f"repeat_{i:02d}.npz")
@@ -84,7 +92,17 @@ def run_repeated_holdout(
         x_tr, y_tr, _ = preprocess_like_reference(x_tr, y_tr)
         x_te, y_te, _ = preprocess_like_reference(x_te, y_te)
 
-        snapshot, trainer, _, _ = train_and_evaluate(x_tr, y_tr, cfg, trainer=trainer)
+        snapshot, trainer, tr_losses, val_losses = train_and_evaluate(
+            x_tr, y_tr, cfg, trainer=trainer
+        )
+        if artifacts_dir:
+            from relaxtpu.utils.plots import plot_losses
+
+            plot_losses(
+                tr_losses, val_losses,
+                os.path.join(artifacts_dir, f"losses_repeat_{i:02d}.png"),
+                title=f"repeat {i}: mean fold losses",
+            )
         y_pred = trainer.predict(snapshot, x_te)
         try:
             _, plcc, rmse, srcc, krcc = compute_correlation_metrics(y_te, y_pred)
@@ -116,6 +134,14 @@ def run_repeated_holdout(
         f"median test SRCC {np.median(srccs):.4f} "
         f"({cfg.select_criteria} median {median_val:.4f})"
     )
+    if artifacts_dir and len(median_result.y_pred):
+        from relaxtpu.utils.plots import plot_results
+
+        plot_results(
+            median_result.y_test, median_result.y_pred,
+            os.path.join(artifacts_dir, "median_scatter.png"),
+            title=f"median repeat ({cfg.select_criteria} {median_val:.4f})",
+        )
     return median_result, median_val, results
 
 

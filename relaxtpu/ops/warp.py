@@ -362,18 +362,6 @@ def warp_planes_banded_pallas(
     return out[:, :h, :w]
 
 
-@functools.lru_cache(maxsize=1)
-def pallas_available() -> bool:
-    """Probe whether the fused kernel compiles+runs on this backend."""
-    try:
-        x = jnp.zeros((2, 64, 256), jnp.float32)
-        f = jnp.zeros((2, 64, 256), jnp.float32)
-        np.asarray(warp_planes_banded_pallas(x, f))
-        return True
-    except Exception:
-        return False
-
-
 def warp_planes_banded(
     planes: jax.Array,
     flow: jax.Array,

@@ -38,8 +38,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from relaxtpu.features.layout import FEATURE_LAYOUT
-
 RESNET_TAP_ORDER = (
     ["conv1"]
     + [f"layer1.{i}" for i in range(3)]
@@ -362,11 +360,12 @@ def reference_video_feature(
 # ------------------------------------------------------------------ reporting
 def compare_segments(ours: np.ndarray, theirs: np.ndarray) -> dict:
     """Per-segment cosine similarity and relative error report."""
+    from relaxtpu.features.layout import segment_slices
+
     out = {}
-    off = 0
-    for name, dim in FEATURE_LAYOUT:
-        a = ours[off : off + dim].astype(np.float64)
-        b = theirs[off : off + dim].astype(np.float64)
+    for name, sl in segment_slices().items():
+        a = ours[sl].astype(np.float64)
+        b = theirs[sl].astype(np.float64)
         denom = np.linalg.norm(a) * np.linalg.norm(b)
         scale = np.abs(b).mean() + 1e-9
         out[name] = {
@@ -374,5 +373,4 @@ def compare_segments(ours: np.ndarray, theirs: np.ndarray) -> dict:
             "mean_abs_err_over_mean_abs": float(np.abs(a - b).mean() / scale),
             "max_abs_err_over_mean_abs": float(np.abs(a - b).max() / scale),
         }
-        off += dim
     return out

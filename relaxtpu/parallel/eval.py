@@ -20,6 +20,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from relaxtpu.features.pipeline import FeatureExtractor
+from relaxtpu.parallel.mesh import replicate
 
 log = logging.getLogger("relaxtpu.parallel.eval")
 
@@ -49,7 +50,7 @@ class ShardedVideoEvaluator:
         self.decode_workers = decode_workers
         self.videos_per_device = videos_per_device
         self._sharding = NamedSharding(mesh, P("data"))
-        self._replicated = NamedSharding(mesh, P())
+        self._replicated = replicate(mesh)
         self._vars_replicated = None
 
     def _mesh_vars(self):

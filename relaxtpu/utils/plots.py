@@ -23,10 +23,15 @@ def plot_results(y_true, y_pred_logistic, out_path: str, title: str = "", ylim=N
     except Exception as e:  # pragma: no cover
         log.warning("plotting unavailable: %s", e)
         return
-    _, _, popt = fit_logistic(np.asarray(y_pred_logistic), np.asarray(y_true))
-    xs = np.linspace(np.min(y_pred_logistic), np.max(y_pred_logistic), len(y_pred_logistic))
     plt.figure(figsize=(6, 6))
-    plt.plot(xs, logistic_func(xs, *popt), "-", color="#c72e29", label="Fitted f(x)")
+    try:  # the 4-param fit needs >=4 points; tiny/degenerate sets scatter-only
+        _, _, popt = fit_logistic(np.asarray(y_pred_logistic), np.asarray(y_true))
+        xs = np.linspace(
+            np.min(y_pred_logistic), np.max(y_pred_logistic), len(y_pred_logistic)
+        )
+        plt.plot(xs, logistic_func(xs, *popt), "-", color="#c72e29", label="Fitted f(x)")
+    except Exception as e:
+        log.warning("logistic fit unavailable for scatter plot: %s", e)
     plt.scatter(y_pred_logistic, y_true, s=12, color="steelblue", label="videos")
     if ylim:
         plt.ylim(*ylim)

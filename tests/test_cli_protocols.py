@@ -202,6 +202,60 @@ def test_config_rejects_unknown_keys(tmp_path):
         RunConfig.load(bad2)
 
 
+def test_report_command(tmp_path, capsys):
+    """report CLI: reference-format log + VSFA npy + published baseline rows
+    into one table (ref reported_result.ipynb)."""
+    from relaxtpu.cli.__main__ import main
+
+    log = "/root/reference/reported_results/konvid_1k_brisque_svr.log"
+    vsfa = "/root/reference/reported_results/VSFA-KoNViD_1k-EXP0.npy"
+    if not (os.path.exists(log) and os.path.exists(vsfa)):
+        pytest.skip("reference artifacts unavailable")
+    out_csv = str(tmp_path / "table.csv")
+    main([
+        "report", "--log", f"brisque=konvid_1k={log}",
+        "--vsfa-npy", f"konvid_1k={vsfa}", "--with-baseline",
+        "--output-csv", out_csv,
+    ])
+    text = capsys.readouterr().out
+    assert "brisque" in text and "VSFA" in text and "reference (published)" in text
+    df = pd.read_csv(out_csv)
+    assert set(df["method"]) == {"brisque", "VSFA", "reference (published)"}
+    assert np.isfinite(df["SRCC"]).all()
+
+
+def test_finetune_zero_shot(tmp_path, capsys):
+    """finetune --zero-shot scores the base model on the 21 test splits with
+    no adaptation and writes no model (ref fine_tune.py:216-258)."""
+    import jax
+    import jax.numpy as jnp
+
+    from relaxtpu.cli.__main__ import main
+    from relaxtpu.model.mlp import Mlp
+    from relaxtpu.model.train import ModelSnapshot
+    from relaxtpu.utils.checkpoint import save_snapshot
+
+    rng = np.random.default_rng(3)
+    x, y, _ = _toy_features(rng, 40, d=32)
+    feats = str(tmp_path / "f.npy")
+    np.save(feats, x)
+    meta = str(tmp_path / "m.csv")
+    pd.DataFrame({"vid": [f"v{i}" for i in range(40)], "mos": y}).to_csv(meta, index=False)
+    v = Mlp().init(jax.random.PRNGKey(0), jnp.zeros((2, 32)), train=False)
+    base = str(tmp_path / "base.npz")
+    save_snapshot(base, ModelSnapshot(v["params"], v.get("batch_stats", {})))
+
+    out = str(tmp_path / "never_written.npz")
+    main([
+        "finetune", "--dataset", "konvid_1k", "--metadata-csv", meta,
+        "--features", feats, "--base-model", base, "--output", out,
+        "--n-repeats", "3", "--zero-shot",
+    ])
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["zero_shot"] is True and np.isfinite(res["median_srcc"])
+    assert not os.path.exists(out)
+
+
 def test_metadata_command(tmp_path, rng, capsys):
     cv2 = pytest.importorskip("cv2")
     from relaxtpu.cli.__main__ import main

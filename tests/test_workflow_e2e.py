@@ -83,14 +83,19 @@ def test_extract_train_predict_workflow(tmp_path, rng, capsys):
     # bug this guards against (shared truncated frame/pair count) is O(1) off
     np.testing.assert_allclose(feats[0], direct, rtol=2e-2, atol=1e-3)
 
-    # --- train (tiny protocol)
+    # --- train (tiny protocol) with the reference-style run artifacts
     model_path = str(tmp_path / "mlp.npz")
+    art_dir = str(tmp_path / "artifacts")
     main([
         "train", "--metadata-csv", meta_csv, "--features", f"{out_dir}/konvid_1k_features.npy",
         "--output", model_path, "--n-repeats", "2", "--n-splits", "2",
-        "--epochs", "2", "--batch-size", "4",
+        "--epochs", "2", "--batch-size", "4", "--artifacts-dir", art_dir,
     ])
     assert os.path.exists(model_path)
+    run_log = open(os.path.join(art_dir, "train.log")).read()
+    assert "config:" in run_log and "repeat 2/2" in run_log
+    assert os.path.exists(os.path.join(art_dir, "losses_repeat_01.png"))
+    assert os.path.exists(os.path.join(art_dir, "median_scatter.png"))
 
     # --- predict on one of the videos
     import joblib
