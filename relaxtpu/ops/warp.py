@@ -70,11 +70,17 @@ def warp_planes_banded_xla(
     flow: jax.Array,
     band: int = 64,
     window: int = 40,
-    precision=jax.lax.Precision.DEFAULT,
+    precision=None,
     col_adaptive: bool = False,
     m_form: str = "select",
 ) -> jax.Array:
     """Bilinear-warp ``planes`` (C, H, W) by ``flow`` (2, H, W) -> (C, H, W).
+
+    ``precision=None`` defers to ``jax_default_matmul_precision``: unset (the
+    production path) that is DEFAULT = 1-pass bf16 operands on the MXU (the
+    measured ~2e-4 px flow error documented above); the test conftest pins
+    the config to "highest" so the f32 indexing/banding oracle tests are
+    exact on TPU hardware too.  Pass an explicit Precision to override both.
 
     Matches ``planes[c, clip(y+dy), clip(x+dx)]`` bilinear sampling (corner
     indices clipped to [0, H-2] / [0, W-2] like the exact path) wherever
@@ -367,7 +373,7 @@ def warp_planes_banded(
     flow: jax.Array,
     band: int = 64,
     window: int = 40,
-    precision=jax.lax.Precision.DEFAULT,
+    precision=None,
     m_form: str = "select",
 ) -> jax.Array:
     """Banded bilinear warp — XLA scan formulation.

@@ -135,7 +135,13 @@ def test_pallas_interpret_matches_xla(rng):
     # window=72 pins the XLA margin to the Pallas kernel's own (its window
     # rounds to 8-row multiples; the XLA default is now 40)
     want = np.asarray(warp_planes_banded_xla(planes, flow, window=72))
-    got = np.asarray(warp_planes_banded_pallas(planes, flow, interpret=True))
+    # interpret mode validates kernel LOGIC; pin it to CPU, where every op
+    # keeps f32 semantics.  On TPU, XLA rewrites the kernel's final
+    # sum(g*wv) reduce-multiply into a hardware-default (bf16-operand) MXU
+    # dot — a compiler rewrite jax_default_matmul_precision can't reach —
+    # which is not what the Mosaic path executes.
+    with jax.default_device(jax.devices("cpu")[0]):
+        got = np.asarray(warp_planes_banded_pallas(planes, flow, interpret=True))
     # rtol absorbs compile-variant rounding: the persistent XLA cache can load
     # an executable fused differently from a fresh compile (plane values ~200,
     # so pure atol=1e-3 flaked on a 6e-6 relative deviation in full-suite runs)
@@ -146,11 +152,12 @@ def test_pallas_interpret_vmap(rng):
     c, h, w = 2, 64, 128
     planes = jnp.asarray(rng.normal(0, 50, (3, c, h, w)).astype(np.float32))
     flow = jnp.asarray(rng.normal(0, 4, (3, 2, h, w)).astype(np.float32))
-    got = np.asarray(
-        jax.vmap(lambda p, f: warp_planes_banded_pallas(p, f, interpret=True))(
-            planes, flow
+    with jax.default_device(jax.devices("cpu")[0]):  # see test above
+        got = np.asarray(
+            jax.vmap(lambda p, f: warp_planes_banded_pallas(p, f, interpret=True))(
+                planes, flow
+            )
         )
-    )
     want = np.stack(
         [
             np.asarray(warp_planes_banded_xla(planes[i], flow[i], window=72))
