@@ -303,16 +303,16 @@ def _toeplitz_correlate(x: jax.Array, kernels, axis: int, mode: str) -> jax.Arra
     every form that materializes intermediates — these stages are
     HBM-bound, not FLOP-bound (measured per 16-pair 540p box-blur call:
     VPU shifted adds 8.5 ms, blocked band-slab einsum 12.0 ms, dense 6.4 ms).
-    HIGH precision (3-pass bf16 on TPU, plain f32 on CPU) keeps the
-    regrouped summation orders of magnitude inside the 0.05 px flow parity
-    tolerance (tests/test_flow.py; validated on-chip)."""
+    DEFAULT precision (1-pass bf16 on TPU, plain f32 on CPU): on-chip the
+    flow-vs-cv2 error rises to mean 9.5e-4 / p99 3.5e-3 px — 14x inside the
+    0.05 px parity tolerance — and the full 16-pair 540p farneback_flow
+    drops 90.7 -> 83.9 ms vs HIGH (scripts/exp_box_prec.py)."""
     kernels = np.atleast_2d(np.asarray(kernels, np.float64))
     n = x.shape[axis]
     t = _toeplitz_matrices(kernels, n, mode)
-    hp = jax.lax.Precision.HIGH
     if axis % x.ndim == x.ndim - 2:
-        return jnp.einsum("kyh,...hw->k...yw", t, x, precision=hp)
-    return jnp.einsum("kxw,...w->k...x", t, x, precision=hp)
+        return jnp.einsum("kyh,...hw->k...yw", t, x)
+    return jnp.einsum("kxw,...w->k...x", t, x)
 
 
 def _box_blur(m: jax.Array, winsize: int) -> jax.Array:
