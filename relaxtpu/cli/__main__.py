@@ -100,19 +100,31 @@ def cmd_warmup(args):
 
 
 def _warm_programs(extractor, resolutions, counts, bucket, ingest):
-    """Compile the whole-video programs for every (resolution, padded count)
-    shape; yields one record per shape (shared by ``warmup`` and ``serve``)."""
+    """Compile the whole-video programs for every (resolution, padded frame
+    count, padded pair count) shape; yields one record per shape (shared by
+    ``warmup`` and ``serve``).
+
+    Frame and pair counts pad independently, so a clip whose last sampled
+    frame has no successor (F frames, F-1 pairs) lands on a MIXED shape when
+    F ≡ 1 (mod bucket) — e.g. 33 frames / 32 pairs pads to (40, 32).  For
+    each padded count c this therefore warms BOTH (c, c) and
+    (c + bucket, c); any real video whose padded pair count is in the warmed
+    set then hits a warm program regardless of its frame count.
+    """
     import time
 
     from relaxtpu.ops.colorspace import bgr_to_yuv420, pack_i420
 
     padded = sorted({-(-int(c) // bucket) * bucket for c in counts})
+    shapes = []
+    for c in padded:
+        shapes += [(c, c), (c + bucket, c)]
     for res in resolutions:
         h, w = (int(v) for v in res.lower().split("x"))
         rng = np.random.default_rng(0)
-        for count in padded:
-            frames = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
-            nxt = rng.integers(0, 256, (count, h, w, 3), dtype=np.uint8)
+        for n_frames, n_pairs in shapes:
+            frames = rng.integers(0, 256, (n_frames, h, w, 3), dtype=np.uint8)
+            nxt = rng.integers(0, 256, (n_pairs, h, w, 3), dtype=np.uint8)
             t0 = time.perf_counter()
             if ingest in ("yuv", "auto") and h % 2 == 0 and w % 2 == 0:
                 fbuf = pack_i420(*bgr_to_yuv420(frames))
@@ -127,7 +139,8 @@ def _warm_programs(extractor, resolutions, counts, bucket, ingest):
                     )
                 )
             yield {
-                "resolution": res, "frames": count, "bucket": bucket,
+                "resolution": res, "frames": n_frames, "pairs": n_pairs,
+                "bucket": bucket,
                 "compile_s": round(time.perf_counter() - t0, 1),
             }
 
@@ -194,6 +207,21 @@ def cmd_predict_batch(args):
             groups.setdefault(key, []).append((path, res[1], res[2]))
         else:
             order.append((path, res))
+    if args.batch == "auto":
+        # probe the link and pick the predicted-faster mode: batch when
+        # dispatch-bound, stream when transfer-bound (the winner flips with
+        # link conditions — measured both ways across rounds)
+        from relaxtpu.utils.linkprobe import measure_link, pick_serving_mode
+
+        if groups:
+            (h0, w0), items0 = next(iter(groups.items()))
+            bytes_per_video = items0[0][1].size + items0[0][2].size
+            args.batch, reason = pick_serving_mode(
+                bytes_per_video, measure_link(n_mb=16, reps=1)
+            )
+            logging.info("serving-mode auto-select: %s", reason)
+        else:
+            args.batch = 1
     if args.batch <= 1 and evaluator is None:
         # Streaming default: per-video async programs, 3 in flight — the
         # fast path when host->device bandwidth dominates (tunneled links,
@@ -753,6 +781,12 @@ def cmd_parity(args):
         args.model and args.imputer and args.scaler
     ):
         raise SystemExit("--model/--imputer/--scaler are required for this check")
+    if args.check == "all":
+        from relaxtpu.parity import all_parity
+
+        out = all_parity(args)
+        print(json.dumps(out, indent=2))
+        return 0 if out["ok"] else 1
     if args.check == "head":
         from relaxtpu.parity import head_parity
 
@@ -824,6 +858,14 @@ def cmd_train_cross(args):
     print(json.dumps({"srcc": result.srcc, "plcc": result.plcc, "rmse": result.rmse}))
 
 
+# Subcommands --config intentionally does NOT feed: they consume no RunConfig
+# field.  ``metadata`` is a pure ffprobe utility (its --video-type enumerates
+# container conventions, not RunConfig datasets) and ``report`` parses
+# external training logs.  Every other subcommand in build_parser must appear
+# in _apply_config (asserted by tests/test_cli_protocols.py).
+CONFIG_EXCLUDED = {"metadata", "report"}
+
+
 def _apply_config(argv, subparsers) -> str | None:
     """Pre-scan for ``--config``; its RunConfig values become the DEFAULTS of
     every subcommand (explicit flags still win).  Returns the cache dir."""
@@ -886,6 +928,19 @@ def _apply_config(argv, subparsers) -> str | None:
         dataset=ex.dataset, n_repeats=tr.n_repeats, epochs=tr.epochs,
         no_bn=not tr.use_bn,
     )
+    set_defaults(
+        subparsers["greyscale"],
+        dataset=ex.dataset, root=ex.data_root, metadata_dir=ex.metadata_dir,
+    )
+    set_defaults(subparsers["visualize"], **backbone)
+    set_defaults(subparsers["parity"], dataset=ex.dataset, **backbone)
+    set_defaults(
+        subparsers["warmup"],
+        bucket=ex.frame_bucket, ingest=ex.ingest, **backbone,
+    )
+    set_defaults(
+        subparsers["train-cross"], epochs=tr.epochs, no_bn=not tr.use_bn,
+    )
     return rt.compilation_cache
 
 
@@ -927,11 +982,13 @@ def build_parser():
     sp.add_argument("--imputer", required=True)
     sp.add_argument("--scaler", required=True)
     sp.add_argument("--finetuned", action="store_true")
-    sp.add_argument("--batch", type=int, default=1,
+    sp.add_argument("--batch", type=lambda v: v if v == "auto" else int(v),
+                    default=1,
                     help="videos per device dispatch; 1 (default) = async "
                     "streaming (fastest when transfer bandwidth dominates), "
                     ">1 = batched multi-video program (amortizes dispatch "
-                    "round-trips on PCIe-attached hosts)")
+                    "round-trips on PCIe-attached hosts); 'auto' probes the "
+                    "link at startup and picks the predicted-faster mode")
     sp.add_argument("--decode-workers", type=int, default=4)
     sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
     sp.add_argument("--output-csv", default=None,
@@ -1052,6 +1109,7 @@ def build_parser():
     sp.add_argument("--metadata-csv", default=None)
     sp.add_argument("--output", default=None)
     sp.set_defaults(fn=cmd_greyscale)
+    subparser_map["greyscale"] = sp
 
     sp = sub.add_parser("finetune")
     sp.add_argument("--dataset", required=True)
@@ -1088,11 +1146,15 @@ def build_parser():
     sp.add_argument("--output", default="attention_overlay.png")
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_visualize)
+    subparser_map["visualize"] = sp
 
     sp = sub.add_parser("parity")
-    sp.add_argument("--check", choices=["head", "demo", "features"], default="head",
+    sp.add_argument("--check", choices=["head", "demo", "features", "all"],
+                    default="head",
                     help="features: diff the full 35,203-dim vector against "
-                    "the independent torch+cv2 oracle (no blobs needed)")
+                    "the independent torch+cv2 oracle (no blobs needed); "
+                    "all: run every check whose inputs are present, one "
+                    "JSON verdict (the blob-day readiness command)")
     sp.add_argument("--dataset", default="konvid_1k")
     sp.add_argument("--features-mat", default=None)
     sp.add_argument("--metadata-csv", default=None)
@@ -1109,6 +1171,7 @@ def build_parser():
     sp.add_argument("--expected-mos", type=float, default=None)
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_parity)
+    subparser_map["parity"] = sp
 
     sp = sub.add_parser("warmup", help="pre-compile video programs for resolutions")
     sp.add_argument("--resolutions", nargs="+", default=["540x960", "1080x1920"],
@@ -1119,6 +1182,7 @@ def build_parser():
     sp.add_argument("--ingest", default="auto", choices=["bgr", "yuv", "auto"])
     add_backbone_flags(sp)
     sp.set_defaults(fn=cmd_warmup)
+    subparser_map["warmup"] = sp
 
     sp = sub.add_parser("metadata")
     sp.add_argument("--video-dir", required=True)
@@ -1129,6 +1193,7 @@ def build_parser():
     sp.add_argument("--csv", default=None, help="LSVQ/LIVE-VQC source csv")
     sp.add_argument("--framerate", type=float, default=None, help=".yuv framerate hint")
     sp.set_defaults(fn=cmd_metadata)
+    subparser_map["metadata"] = sp
 
     sp = sub.add_parser("train-cross")
     sp.add_argument("--train-dataset", default="youtube_ugc")
@@ -1141,6 +1206,7 @@ def build_parser():
     sp.add_argument("--epochs", type=int, default=20)
     sp.add_argument("--no-bn", action="store_true")
     sp.set_defaults(fn=cmd_train_cross)
+    subparser_map["train-cross"] = sp
 
     return p, subparser_map
 

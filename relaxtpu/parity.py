@@ -279,3 +279,69 @@ def demo_parity(
         out["abs_diff"] = abs(mos - expected_mos)
         out["ok"] = out["abs_diff"] <= DEMO_TOL
     return out
+
+
+def all_parity(args) -> dict:
+    """One-command readiness surface: run EVERY parity check whose inputs are
+    present and emit a single JSON verdict (VERDICT r3 item 9).
+
+    - ``features`` always runs (needs no reference blobs; synthetic frames
+      and seeded weights stand in when --video / --*-weights are absent).
+    - ``head`` runs when the artifact sextet is present (--features-mat,
+      --metadata-csv, --result-mat, --model, --imputer, --scaler,
+      --expected-csv); skipped otherwise with the missing flags named.
+    - ``demo`` runs when --video, --model, --imputer, --scaler and both
+      backbone weights are present.
+
+    The day the reference's datasets/weights land, one invocation produces
+    every BASELINE.md comparison input; ``ok`` aggregates over the checks
+    that ran.
+    """
+    out: dict = {"checks": {}}
+
+    feats = feature_parity(args.video, args.resnet_weights, args.vit_weights)
+    out["checks"]["features"] = feats
+
+    head_flags = {
+        "--features-mat": args.features_mat,
+        "--metadata-csv": args.metadata_csv,
+        "--result-mat": args.result_mat,
+        "--model": args.model,
+        "--imputer": args.imputer,
+        "--scaler": args.scaler,
+        "--expected-csv": args.expected_csv,
+    }
+    missing = sorted(k for k, v in head_flags.items() if not v)
+    if missing:
+        out["checks"]["head"] = {"skipped": f"missing {' '.join(missing)}"}
+    else:
+        report = head_parity(
+            args.dataset, args.features_mat, args.metadata_csv,
+            args.result_mat, args.model, args.imputer, args.scaler,
+            args.expected_csv, greyscale_report=args.greyscale_report,
+            use_bn=not args.no_bn,
+        )
+        out["checks"]["head"] = json.loads(report.to_json())
+
+    demo_flags = {
+        "--video": args.video,
+        "--model": args.model,
+        "--imputer": args.imputer,
+        "--scaler": args.scaler,
+        "--resnet-weights": args.resnet_weights,
+        "--vit-weights": args.vit_weights,
+    }
+    missing = sorted(k for k, v in demo_flags.items() if not v)
+    if missing:
+        out["checks"]["demo"] = {"skipped": f"missing {' '.join(missing)}"}
+    else:
+        out["checks"]["demo"] = demo_parity(
+            args.video, args.video_type, args.model, args.imputer,
+            args.scaler, args.resnet_weights, args.vit_weights,
+            expected_mos=args.expected_mos,
+        )
+
+    ran = [c for c in out["checks"].values() if "skipped" not in c]
+    out["ran"] = len(ran)
+    out["ok"] = all(c.get("ok", True) for c in ran)
+    return out

@@ -1,0 +1,75 @@
+"""Host->device link probe: bandwidth + per-dispatch round-trip latency.
+
+The serving-mode choice (streaming vs batched dispatch) flips with link
+conditions: batching amortizes per-dispatch round-trips but serializes two
+large uploads per group, so it wins when dispatch latency dominates and
+loses when transfer bandwidth dominates (measured both ways across rounds:
+builder link 1.675 batch vs 1.659 stream; round-3 driver link 0.80 vs
+1.07).  This probe makes the choice data-driven at startup, and gives the
+benchmark the number that attributes run-to-run headline swings.
+
+The reference has no analog — its only perf instrumentation is the
+"Execution time" print at ``main_fragment_layerstack.py:279`` and it never
+moves data to an accelerator asynchronously.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def measure_link(n_mb: int = 64, reps: int = 3) -> dict:
+    """Measure host->device bandwidth and small-payload round-trip.
+
+    Bandwidth: upload ``n_mb`` of random bytes (random defeats relay-level
+    compression), reduce on device to one int32, fetch the scalar — the
+    reduce and 4-byte download are ~free, so the time is the upload.  Best
+    of ``reps``.  Round-trip: the same on a 1 KB payload, averaged over 5.
+
+    Returns ``{"link_MBps": float, "rtt_ms": float}``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    buf = np.random.default_rng(2).integers(0, 255, n_mb << 20, dtype=np.uint8)
+    fn = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+    small = np.ascontiguousarray(buf[:1024])
+    int(fn(small))  # compile (small shape)
+    int(fn(buf))  # compile (large shape) + first upload
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        int(fn(buf))
+        best = min(best, time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        int(fn(small))
+    rtt_ms = (time.perf_counter() - t0) / 5 * 1000
+    return {"link_MBps": round(n_mb / best, 1), "rtt_ms": round(rtt_ms, 2)}
+
+
+def pick_serving_mode(
+    bytes_per_video: int, link: dict, batch: int = 4
+) -> tuple[int, str]:
+    """(videos per dispatch, reason) from a link probe.
+
+    Streaming spends ~1.5 extra round-trips per video on dispatch/fetch
+    that batch-``batch`` amortizes; batching loses ~10% of the
+    transfer/compute overlap by serializing two large uploads per group.
+    Batch wins when the round-trip saving exceeds the overlap loss; both
+    sides scale as documented so the crossover tracks the measured link.
+    """
+    transfer_s = bytes_per_video / (link["link_MBps"] * 1e6)
+    rtt_saving_s = 1.5 * link["rtt_ms"] / 1000.0
+    overlap_loss_s = 0.10 * transfer_s
+    if rtt_saving_s > overlap_loss_s:
+        return batch, (
+            f"dispatch-bound: 1.5x rtt ({rtt_saving_s * 1e3:.1f} ms) > 10% of "
+            f"per-video transfer ({transfer_s * 1e3:.0f} ms) -> batch {batch}"
+        )
+    return 1, (
+        f"transfer-bound: per-video transfer {transfer_s * 1e3:.0f} ms dwarfs "
+        f"rtt {link['rtt_ms']:.1f} ms -> streaming"
+    )

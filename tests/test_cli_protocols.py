@@ -277,3 +277,103 @@ def test_metadata_command(tmp_path, rng, capsys):
     assert row["nb_frames"] == 12
     assert row["pixfmt"] == "yuv420p"
     assert row["bitdepth"] == 8
+
+
+def test_config_covers_every_subcommand(tmp_path):
+    """Every subparser in build_parser is either fed by _apply_config or in
+    the documented CONFIG_EXCLUDED list (VERDICT r3 item 7)."""
+    from relaxtpu.cli import __main__ as cli
+    from relaxtpu.config import RunConfig
+
+    cfg_path = str(tmp_path / "run.json")
+    RunConfig().save(cfg_path)
+    _, submap = cli.build_parser()
+
+    class Spy(dict):
+        def __init__(self, base):
+            super().__init__(base)
+            self.seen = set()
+
+        def __getitem__(self, k):
+            self.seen.add(k)
+            return super().__getitem__(k)
+
+    spy = Spy(submap)
+    cli._apply_config(["--config", cfg_path, "extract"], spy)
+    assert spy.seen | cli.CONFIG_EXCLUDED == set(submap), (
+        f"subcommands ignoring --config and not excluded: "
+        f"{set(submap) - spy.seen - cli.CONFIG_EXCLUDED}"
+    )
+    assert not (spy.seen & cli.CONFIG_EXCLUDED)
+
+
+def test_config_defaults_feed_aux_subcommands(tmp_path):
+    """greyscale/parity/warmup/train-cross/visualize honor --config."""
+    from relaxtpu.cli import __main__ as cli
+    from relaxtpu.config import RunConfig
+
+    cfg = RunConfig()
+    cfg.extract.dataset = "live_vqc"
+    cfg.extract.data_root = "/data"
+    cfg.extract.frame_bucket = 4
+    cfg.extract.ingest = "bgr"
+    cfg.extract.backbone_dtype = "float32"
+    cfg.train.epochs = 9
+    cfg.train.use_bn = False
+    cfg_path = str(tmp_path / "run.json")
+    cfg.save(cfg_path)
+
+    def parse(argv):
+        p, submap = cli.build_parser()
+        cli._apply_config(argv, submap)
+        return p.parse_args(argv)
+
+    a = parse(["--config", cfg_path, "greyscale"])
+    assert a.dataset == "live_vqc" and a.root == "/data"
+
+    a = parse(["--config", cfg_path, "parity"])
+    assert a.dataset == "live_vqc" and a.bf16 is False
+
+    a = parse(["--config", cfg_path, "warmup"])
+    assert a.bucket == 4 and a.ingest == "bgr"
+
+    a = parse(["--config", cfg_path, "train-cross",
+               "--train-metadata", "a.csv", "--test-metadata", "b.csv",
+               "--train-features", "a.mat", "--test-features", "b.mat"])
+    assert a.epochs == 9 and a.no_bn is True
+
+    a = parse(["--config", cfg_path, "visualize",
+               "--frame", "f.png", "--next-frame", "n.png"])
+    assert a.bf16 is False
+
+
+def test_warmup_covers_mixed_frame_pair_shapes():
+    """_warm_programs warms (c, c) AND (c+bucket, c): a video whose last
+    sampled frame has no successor (F frames, F-1 pairs) pads to a MIXED
+    program shape when F = 1 mod bucket — e.g. 33 frames / 32 pairs pads to
+    (40, 32), which round-3 warmup never compiled (VERDICT r3 item 6)."""
+    from relaxtpu.cli.__main__ import _warm_programs
+
+    calls = []
+
+    class FakeExtractor:
+        def video_feature_async_i420(self, fbuf, nbuf, h, w, bucket=8):
+            calls.append((len(fbuf), len(nbuf)))
+            return np.zeros(3)
+
+    recs = list(_warm_programs(
+        FakeExtractor(), ["16x16"], counts=[8, 16, 32], bucket=8,
+        ingest="yuv",
+    ))
+    # I420 buffers hold one row per frame/pair, so the call shapes ARE the
+    # padded program shapes
+    warmed = set(calls)
+    for c in (8, 16, 32):
+        assert (c, c) in warmed and (c + 8, c) in warmed
+    assert {(r["frames"], r["pairs"]) for r in recs} == warmed
+
+    # any real video with padded pair count in the warmed set hits a warm
+    # program: check the 33f/32p case explicitly
+    f, p = 33, 32
+    shape = (-(-f // 8) * 8, -(-p // 8) * 8)
+    assert shape == (40, 32) and shape in warmed
