@@ -56,11 +56,16 @@ class FeatureExtractor:
     ----------
     resnet_vars, vit_vars: Flax variable trees (ported or randomly init'd).
     dtype: backbone compute dtype (bf16 for TPU throughput, f32 for parity).
+    vit_depth: ViT transformer depth — production is 12 (DINO B/16); tests
+        use 2 so the per-commit e2e oracle check stays cheap (the 35,203-dim
+        layout is depth-independent: every tap dimension is set by embed/
+        channel widths, not depth).
     """
 
-    def __init__(self, resnet_vars: Any, vit_vars: Any, dtype=jnp.float32):
+    def __init__(self, resnet_vars: Any, vit_vars: Any, dtype=jnp.float32,
+                 vit_depth: int = 12):
         self.resnet = ResNet50(dtype=dtype)
-        self.vit = ViT(dtype=dtype)
+        self.vit = ViT(dtype=dtype, depth=vit_depth)
         # Weights are device arrays passed as jit ARGUMENTS, never closed
         # over: captured weights would be baked into the HLO as constants
         # (gigantic programs; the axon remote-compile tunnel rejects them).

@@ -77,6 +77,35 @@ def test_e2e_vector_matches_reference_oracle(models, rng, shape):
         assert r["mean_abs_err_over_mean_abs"] <= tol["mean_rel"], (seg, r)
 
 
+def test_e2e_vector_matches_oracle_fast(rng):
+    """Per-commit tier of the e2e oracle check (VERDICT r3 item 8): the same
+    full 35,203-dim composition — PIL-vs-jax resize seam, fragments, flow,
+    both backbones — at depth-2 ViT / 2 frames / 120x160, cheap enough for
+    ``-m "not slow"``.  The layout is depth-independent, so every dimension
+    the slow full-depth test checks is exercised here too."""
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.models import port_torch_resnet50, port_torch_vit
+
+    rn_oracle = build_torch_resnet50(seed=0)
+    vit_oracle = build_torch_vit(depth=2, seed=1)
+    fx = FeatureExtractor(
+        port_torch_resnet50(rn_oracle.state_dict()),
+        port_torch_vit(vit_oracle.state_dict(), depth=2),
+        dtype=jnp.float32,
+        vit_depth=2,
+    )
+    frames, nxt = _synthetic_video(rng, 2, 120, 160)
+    ours = fx.video_feature(frames, frames[: len(nxt)], nxt)
+    theirs = reference_video_feature(frames, nxt, rn_oracle, vit_oracle)
+    assert ours.shape == theirs.shape == (TOTAL_FEATURE_DIM,)
+
+    report = compare_segments(ours, theirs)
+    for seg, tol in TOLERANCES.items():
+        r = report[seg]
+        assert r["cosine"] >= tol["cosine"], (seg, r)
+        assert r["mean_abs_err_over_mean_abs"] <= tol["mean_rel"], (seg, r)
+
+
 @pytest.mark.slow
 def test_fragment_images_bitexact_vs_oracle(models, rng):
     """The fragment IMAGES our device program feeds the backbones are
