@@ -46,7 +46,49 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 # driver timeout kills the process.  The 4K sweep alone costs minutes of
 # host-side frame synthesis + tunneled upload.
 BUDGET_S = float(os.environ.get("RELAXTPU_BENCH_BUDGET", "480"))
+# Grace past the budget for ONE in-flight extra before the hard deadline
+# fires and the JSON line is emitted with whatever was measured (a single
+# extra can wedge arbitrarily long on this host: a cold remote compile or
+# the 4K frame synthesis both take minutes — round-4 builder run lost its
+# whole artifact to exactly that before this existed).
+DEADLINE_GRACE_S = float(os.environ.get("RELAXTPU_BENCH_GRACE", "240"))
 _T_START = time.monotonic()
+
+# Mutable snapshot the SIGALRM handler emits if an extra overruns the
+# deadline: [vps, baseline_vps, detail-dict].
+_PARTIAL = [None, None, None]
+
+
+def _emit(vps, baseline_vps, detail) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "videos/sec end-to-end VQA per chip (540p, 16f+16p)",
+                "value": round(vps, 4),
+                "unit": "videos/sec",
+                "vs_baseline": round(vps / baseline_vps, 2),
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _arm_deadline() -> None:
+    import signal
+
+    def handler(signum, frame):
+        vps, baseline_vps, detail = _PARTIAL
+        if detail is not None:
+            detail["deadline_hit"] = (
+                "hard deadline fired mid-extra; detail is partial"
+            )
+            _emit(vps, baseline_vps, detail)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, handler)
+    remaining = BUDGET_S + DEADLINE_GRACE_S - (time.monotonic() - _T_START)
+    signal.alarm(max(int(remaining), 30))
 
 
 def _within_budget() -> bool:
@@ -506,6 +548,11 @@ def main():
     vps = vps_stream
     detail["vps_stream"] = round(vps_stream, 4)
 
+    # From here on the artifact is emittable: arm the hard deadline so a
+    # single wedged extra can never swallow the whole JSON line.
+    _PARTIAL[0], _PARTIAL[1], _PARTIAL[2] = vps, baseline_vps, detail
+    _arm_deadline()
+
     # ---- cheap, high-information evidence FIRST (order matters: these must
     # land in the artifact even if the budget dies on the sweeps below) ----
     link = {}
@@ -552,6 +599,7 @@ def main():
             vps_stream = max(vps_stream, measure_tpu(fx, videos, ingest="yuv"))
             detail["vps_stream"] = round(vps_stream, 4)
             vps = max(vps, vps_stream)
+            _PARTIAL[0] = vps
         except Exception as e:
             detail["vps_stream2_error"] = str(e)[:120]
 
@@ -561,6 +609,7 @@ def main():
             vps_batch = measure_tpu_batched(fx, videos, batch=4)
             detail["vps_batch4"] = round(vps_batch, 4)
             vps = max(vps, vps_batch)
+            _PARTIAL[0] = vps
         except Exception as e:
             detail["vps_batch4_error"] = str(e)[:120]
     else:
@@ -602,17 +651,10 @@ def main():
     else:
         detail["vps_4k"] = "skipped: budget"
 
-    print(
-        json.dumps(
-            {
-                "metric": "videos/sec end-to-end VQA per chip (540p, 16f+16p)",
-                "value": round(vps, 4),
-                "unit": "videos/sec",
-                "vs_baseline": round(vps / baseline_vps, 2),
-                "detail": detail,
-            }
-        )
-    )
+    import signal
+
+    signal.alarm(0)  # all extras done: disarm the deadline
+    _emit(vps, baseline_vps, detail)
 
 
 if __name__ == "__main__":

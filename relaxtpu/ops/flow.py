@@ -382,14 +382,16 @@ def farneback_flow(
         smooth_sz = max(_cvround(sigma * 5) | 1, 3)
         gk = _gaussian_kernel(smooth_sz, sigma)
 
-        imgs = []
-        for base in (prev_f, next_f):
-            # VPU shifted adds (measured 8.5 ms vs 10.0 for the Toeplitz
-            # MXU form across all levels per 16-pair 540p call)
-            im = _sep_correlate(base, gk, gk, "reflect")
-            imgs.append(_resize_linear(im, (hk, wk)))
-        r0 = _poly_expansion(imgs[0], poly_n, poly_sigma)
-        r1 = _poly_expansion(imgs[1], poly_n, poly_sigma)
+        # prev/next smoothed + expanded as ONE batch of 2: the doubled batch
+        # vectorizes the VPU shifted-add correlations ~2.8x better per image
+        # (roofline: 16 imgs 6.73 ms vs 32 imgs 4.72 ms per poly-expansion
+        # call at 540p; scripts/flow_roofline.py).  VPU shifted adds, NOT
+        # Toeplitz matmuls: measured 8.5 ms vs 10.0 for the MXU form.
+        base2 = jnp.stack([prev_f, next_f])
+        im2 = jax.vmap(lambda b: _sep_correlate(b, gk, gk, "reflect"))(base2)
+        im2 = jax.vmap(lambda b: _resize_linear(b, (hk, wk)))(im2)
+        r2 = jax.vmap(lambda b: _poly_expansion(b, poly_n, poly_sigma))(im2)
+        r0, r1 = r2[0], r2[1]
 
         if flow is None:
             flow = jnp.zeros((2, hk, wk), jnp.float32)

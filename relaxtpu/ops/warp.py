@@ -374,9 +374,13 @@ def warp_planes_banded(
     band: int = 64,
     window: int = 40,
     precision=None,
-    m_form: str = "select",
+    m_form: str = "tent",
 ) -> jax.Array:
     """Banded bilinear warp — XLA scan formulation.
+
+    ``m_form`` defaults to 'tent': one fused f32 chain instead of two
+    compares + two selects, measured 15.77 vs 16.63 ms per 16-pair 540p
+    call with max |d| = 6e-8 vs 'select' (scripts/exp_warp_m.py, r4).
 
     The fused Pallas kernel above compiles and matches, but measures SLOWER
     on v5e (4.7ms vs 3.4ms per 540p call): its per-output-row (1440,384)x

@@ -87,3 +87,69 @@ def test_flow_full_field_close_including_borders(rng):
     got = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(nxt), **REF_PARAMS))
     err = np.abs(got - want)
     assert err.mean() < 0.1, err.mean()  # includes border taper region
+
+
+def _realistic_m(rng, h, w):
+    """Normal-equation planes the way production builds them: PSD by
+    construction (det = (ab - c^2)^2 >= 0, as in _update_matrices), so the
+    2x2 solve is as conditioned as on real video.  Random-sign planes make
+    the determinant cross zero and amplify f32 summation-order noise by
+    1000x, which tests the data, not the kernel."""
+    from relaxtpu.ops.flow import _poly_expansion, _update_matrices
+
+    g0 = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    g1 = jnp.asarray(rng.integers(0, 256, (h, w)).astype(np.float32))
+    r0 = _poly_expansion(g0, 5, 1.2)
+    r1 = _poly_expansion(g1, 5, 1.2)
+    return _update_matrices(r0, r1, jnp.zeros((2, h, w), jnp.float32), "exact")
+
+
+def test_box_solve_pallas_interpret_matches_xla(rng):
+    """Fused Pallas box-blur+solve == the XLA Toeplitz _update_flow (logic
+    validated in interpret mode on CPU; compiled-mode agreement is asserted
+    by the TPU-gated test below)."""
+    import jax
+
+    from relaxtpu.ops.boxsolve import box_blur_solve_pallas
+    from relaxtpu.ops.flow import _update_flow
+
+    # everything on host CPU: the axon plugin ignores JAX_PLATFORMS, and on a
+    # TPU-attached host the fixture/reference would otherwise cold-compile
+    # through the remote tunnel (minutes per shape)
+    with jax.default_device(jax.devices("cpu")[0]):
+        m = _realistic_m(rng, 120, 160)
+        want = np.asarray(_update_flow(m, 15))
+        got = np.asarray(box_blur_solve_pallas(m, 15, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_box_solve_pallas_non_tile_shapes(rng):
+    """Odd H/W exercise the slab padding and the lane-pad slicing."""
+    import jax
+
+    from relaxtpu.ops.boxsolve import box_blur_solve_pallas
+    from relaxtpu.ops.flow import _update_flow
+
+    with jax.default_device(jax.devices("cpu")[0]):  # see test above
+        m = _realistic_m(rng, 67, 131)
+        want = np.asarray(_update_flow(m, 15))
+        got = np.asarray(box_blur_solve_pallas(m, 15, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_box_solve_pallas_compiled_on_tpu(rng):
+    """Compiled Mosaic kernel vs the XLA solve on real TPU numerics."""
+    import jax
+
+    try:
+        jax.devices("tpu")
+    except RuntimeError:
+        pytest.skip("TPU-only: compiled Mosaic path")
+    from relaxtpu.ops.boxsolve import box_blur_solve_pallas
+    from relaxtpu.ops.flow import _update_flow
+
+    m = _realistic_m(rng, 540, 960)
+    want = np.asarray(_update_flow(m, 15))
+    got = np.asarray(box_blur_solve_pallas(m, 15))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
