@@ -120,6 +120,66 @@ def synthetic_video(rng, n_frames: int, h: int = H, w: int = W):
     return frames, prev, nxt, bgr_to_yuv420(frames), bgr_to_yuv420(nxt)
 
 
+def synthetic_video_yuv(rng, n_frames: int, h: int, w: int):
+    """Temporally-correlated I420 planes synthesized DIRECTLY (no BGR).
+
+    The YUV-ingest measurements upload decoder-native planes and never read
+    the BGR slots, so for the high-res rows this skips the 3-channel float32
+    temporal chain + host colorspace conversion that costs ~340 s of host
+    time per 4K video (~6x cheaper: 1.5 noise bytes/px instead of 12 float32
+    bytes/px plus conversion).  Returns the same 5-tuple layout as
+    :func:`synthetic_video` with the BGR slots None.
+    """
+
+    def chain(shape):
+        x = rng.integers(0, 256, shape, dtype=np.uint8).astype(np.float32)
+        out = []
+        for _ in range(2 * n_frames):
+            x = np.clip(x + rng.normal(0, 12, shape).astype(np.float32), 0, 255)
+            out.append(x.astype(np.uint8))
+        return np.stack(out)
+
+    planes = [chain((h, w)), chain((h // 2, w // 2)), chain((h // 2, w // 2))]
+    fyuv = tuple(np.ascontiguousarray(p[0::2]) for p in planes)
+    nyuv = tuple(np.ascontiguousarray(p[1::2]) for p in planes)
+    return None, None, None, fyuv, nyuv
+
+
+def synthetic_videos(rng, count: int, n_frames: int = N_FRAMES, h: int = H, w: int = W, roll_bgr: bool = True, yuv_only: bool = False):
+    """``count`` videos: ONE real synthesis + cheap byte-rolled variants.
+
+    Synthesis dominates the bench's wall-clock budget at high resolution
+    (~340 s of host time per 4K video on this 1-core host vs a 2.1 s device
+    program), so videos 1..count-1 are derived by rolling the base video's
+    planes along width.  Distinct content defeats any relay/content caching
+    between videos, and execution time is content-independent (static
+    shapes, no data-dependent control flow on the device), so rolled
+    variants measure identically to fresh synthesis — verified by
+    scripts/exp_4k_steady.py which used the same trick.
+
+    ``roll_bgr=False`` shares the base's BGR arrays across variants (the
+    YUV-ingest measurements never read them) — at 4K that skips ~1.5 GB of
+    host copies per variant.
+    """
+    if yuv_only:
+        base = synthetic_video_yuv(rng, n_frames, h, w)
+    else:
+        base = synthetic_video(rng, n_frames, h, w)
+    out = [base]
+    for i in range(1, count):
+        shift = 7 * i
+        yuv_f = tuple(np.roll(p, shift, axis=-1) for p in base[3])
+        yuv_n = tuple(np.roll(p, shift, axis=-1) for p in base[4])
+        if roll_bgr and not yuv_only:
+            frames = np.roll(base[0], shift, axis=-2)
+            nxt = np.roll(base[2], shift, axis=-2)
+            prev = frames[: base[1].shape[0]]
+        else:
+            frames, prev, nxt = base[0], base[1], base[2]
+        out.append((frames, prev, nxt, yuv_f, yuv_n))
+    return out
+
+
 def build_extractor(dtype):
     import jax.numpy as jnp  # noqa: F401
 
@@ -499,7 +559,7 @@ def main():
 
     enable_compilation_cache()
     rng = np.random.default_rng(0)
-    videos = [synthetic_video(rng, N_FRAMES) for _ in range(N_VIDEOS + 1)]
+    videos = synthetic_videos(rng, N_VIDEOS + 1)
 
     fx = build_extractor(jnp.bfloat16)
     # Pass 1 of the sustained stream (compiles the whole-video program).
@@ -632,11 +692,17 @@ def main():
     # resolution sweep (1080p) — fewer videos, same pipeline
     if _within_budget():
         try:
-            videos_1080 = [
-                synthetic_video(rng, N_FRAMES, 1080, 1920) for _ in range(4)
-            ]
+            videos_1080 = synthetic_videos(rng, 4, N_FRAMES, 1080, 1920, yuv_only=True)
             detail["vps_1080p"] = round(measure_tpu(fx, videos_1080), 4)
             del videos_1080
+            floor_1080 = detail.get("transfer_floor_vps", {}).get("1080p")
+            if floor_1080 and detail["vps_1080p"] < 0.5 * floor_1080:
+                detail["vps_1080p_note"] = (
+                    "far below the transfer floor: the relay's large-buffer "
+                    "handling is bimodal (true-arrival swings 0.5-36 MB/s at "
+                    "~100 MB payloads within one process) — link state, not "
+                    "the pipeline; see link_MBps_worst and README high-res note"
+                )
         except Exception as e:
             detail["vps_1080p_error"] = str(e)[:120]
     else:
@@ -647,9 +713,17 @@ def main():
     if _within_budget():
         try:
             # 2 videos only (one warmup, one timed): a 4K video is ~400 MB of
-            # I420 + ~760 MB of host BGR frames; more would pressure RAM
-            videos_4k = [synthetic_video(rng, N_FRAMES, 2160, 3840) for _ in range(2)]
+            # I420 + ~760 MB of host BGR frames; more would pressure RAM.
+            # NOTE the e2e 4K number through THIS tunnel is relay-noise-bound
+            # (5x per-video swings at steady state; device program 2.1 s,
+            # transfer floor ~0.095 vps at the sustained link rate — see
+            # scripts/exp_4k_steady.py / exp_4k_attrib.py and README).
+            videos_4k = synthetic_videos(rng, 2, N_FRAMES, 2160, 3840, yuv_only=True)
             detail["vps_4k"] = round(measure_tpu(fx, videos_4k), 4)
+            detail["vps_4k_note"] = (
+                "relay-noise-bound through this tunnel; device-bound 0.48 vps, "
+                "transfer floor ~0.095 vps (scripts/exp_4k_attrib.py)"
+            )
         except Exception as e:
             detail["vps_4k_error"] = str(e)[:120]
     else:
