@@ -552,6 +552,13 @@ def _host_cpu_model() -> str:
     return "unknown"
 
 
+
+def _mark(detail: dict, name: str) -> None:
+    """Record elapsed-seconds checkpoints so the artifact explains what
+    consumed the budget (compile-cache fetches through the tunnel cost
+    tens of seconds per program and vary run to run)."""
+    detail.setdefault("timeline_s", {})[name] = round(time.monotonic() - _T_START, 1)
+
 def main():
     import jax.numpy as jnp
 
@@ -560,6 +567,7 @@ def main():
     enable_compilation_cache()
     rng = np.random.default_rng(0)
     videos = synthetic_videos(rng, N_VIDEOS + 1)
+    _synth_done = time.monotonic() - _T_START
 
     fx = build_extractor(jnp.bfloat16)
     # Pass 1 of the sustained stream (compiles the whole-video program).
@@ -607,6 +615,8 @@ def main():
 
     vps = vps_stream
     detail["vps_stream"] = round(vps_stream, 4)
+    detail["timeline_s"] = {"synthesis_540p": round(_synth_done, 1)}
+    _mark(detail, "stream1")
 
     # From here on the artifact is emittable: arm the hard deadline so a
     # single wedged extra can never swallow the whole JSON line.
@@ -619,6 +629,7 @@ def main():
     try:
         link = measure_link()
         detail.update(link)
+        _mark(detail, "link_probe")
     except Exception as e:
         detail["link_error"] = str(e)[:120]
 
@@ -626,6 +637,7 @@ def main():
     try:
         dev = measure_device_program(fx, videos[0])
         detail.update(dev)
+        _mark(detail, "device_program")
     except Exception as e:
         detail["device_program_error"] = str(e)[:120]
 
@@ -650,6 +662,7 @@ def main():
     if _within_budget():
         try:
             detail["stage_ms"] = measure_stage_breakdown(fx, videos[0])
+            _mark(detail, "stage_ms")
         except Exception as e:
             detail["stage_ms_error"] = str(e)[:120]
     else:
@@ -664,6 +677,7 @@ def main():
             detail["vps_stream"] = round(vps_stream, 4)
             vps = max(vps, vps_stream)
             _PARTIAL[0] = vps
+            _mark(detail, "stream2")
         except Exception as e:
             detail["vps_stream2_error"] = str(e)[:120]
 
@@ -674,6 +688,7 @@ def main():
             detail["vps_batch4"] = round(vps_batch, 4)
             vps = max(vps, vps_batch)
             _PARTIAL[0] = vps
+            _mark(detail, "batch4")
         except Exception as e:
             detail["vps_batch4_error"] = str(e)[:120]
     else:
@@ -684,6 +699,7 @@ def main():
             detail["vps_bgr_ingest"] = round(
                 measure_tpu(fx, videos[:5], ingest="bgr"), 4
             )
+            _mark(detail, "bgr")
         except Exception as e:
             detail["vps_bgr_error"] = str(e)[:120]
     else:
@@ -695,6 +711,7 @@ def main():
             videos_1080 = synthetic_videos(rng, 4, N_FRAMES, 1080, 1920, yuv_only=True)
             detail["vps_1080p"] = round(measure_tpu(fx, videos_1080), 4)
             del videos_1080
+            _mark(detail, "1080p")
             floor_1080 = detail.get("transfer_floor_vps", {}).get("1080p")
             if floor_1080 and detail["vps_1080p"] < 0.5 * floor_1080:
                 detail["vps_1080p_note"] = (
@@ -720,6 +737,7 @@ def main():
             # scripts/exp_4k_steady.py / exp_4k_attrib.py and README).
             videos_4k = synthetic_videos(rng, 2, N_FRAMES, 2160, 3840, yuv_only=True)
             detail["vps_4k"] = round(measure_tpu(fx, videos_4k), 4)
+            _mark(detail, "4k")
             detail["vps_4k_note"] = (
                 "relay-noise-bound through this tunnel; device-bound 0.48 vps, "
                 "transfer floor ~0.095 vps (scripts/exp_4k_attrib.py)"
