@@ -82,11 +82,17 @@ def _arm_deadline() -> None:
         if detail is not None:
             detail["deadline_hit"] = (
                 "hard deadline fired mid-extra; detail is partial"
+                if signum == signal.SIGALRM
+                else "outer timeout (SIGTERM) fired mid-extra; detail is partial"
             )
             _emit(vps, baseline_vps, detail)
         os._exit(0)
 
     signal.signal(signal.SIGALRM, handler)
+    # An outer driver timeout usually delivers SIGTERM; emit the partial
+    # artifact instead of dying silently (the SIGALRM deadline may sit up to
+    # BUDGET+GRACE out, past an impatient driver).
+    signal.signal(signal.SIGTERM, handler)
     remaining = BUDGET_S + DEADLINE_GRACE_S - (time.monotonic() - _T_START)
     signal.alarm(max(int(remaining), 30))
 

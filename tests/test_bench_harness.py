@@ -65,3 +65,32 @@ def test_base_matches_synthetic_video(rng):
     b = synthetic_video(np.random.default_rng(7), 2, 16, 24)
     np.testing.assert_array_equal(a[0], b[0])
     np.testing.assert_array_equal(a[3][0], b[3][0])
+
+
+def test_sigterm_emits_partial_artifact():
+    """An outer driver timeout (SIGTERM) must flush the partial JSON line.
+
+    The SIGALRM hard deadline sits up to BUDGET+GRACE out; a driver that
+    kills earlier delivers SIGTERM, and round 4 made that path emit too.
+    """
+    import json as _json
+    import subprocess
+
+    code = (
+        "import os, signal, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import bench\n"
+        "bench._PARTIAL[0], bench._PARTIAL[1] = 1.5, 0.5\n"
+        "bench._PARTIAL[2] = {'vps_stream': 1.5}\n"
+        "bench._arm_deadline()\n"
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "raise SystemExit('handler did not exit')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+    )
+    assert out.returncode == 0, out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    d = _json.loads(line)
+    assert d["value"] == 1.5 and d["vs_baseline"] == 3.0
+    assert "SIGTERM" in d["detail"]["deadline_hit"]
