@@ -5,6 +5,12 @@ gradient ``psum`` (data axis) and fc1 activation collectives (model axis)
 automatically.  The MLP is tiny (~9M params), so DP is the useful axis; TP of
 the (35,203 x 256) fc1 kernel demonstrates the full tp+dp sharding surface
 and keeps per-device HBM flat at scale.
+
+35,203 is odd, so the fc1 input dim is ZERO-PADDED up to a multiple of the
+'model' axis before sharding (NamedSharding requires divisibility).  The pad
+is exact, not approximate: pad columns of x are zero, so pad rows of the
+kernel never contribute to the forward, receive zero gradient, and zero
+weight decay keeps them zero forever.
 """
 
 from __future__ import annotations
@@ -44,6 +50,8 @@ class DistributedMlpTrainStep:
             optax.add_decayed_weights(weight_decay), optax.sgd(lr, momentum=0.9)
         )
         self.input_dim = input_dim
+        model_axis = mesh.shape.get("model", 1)
+        self.padded_dim = input_dim + (-input_dim) % model_axis
 
         self.param_sharding_rules = {
             # fc1 kernel: shard the wide input dim over 'model'
@@ -80,11 +88,31 @@ class DistributedMlpTrainStep:
         )
 
     def init(self, key):
+        # init at the TRUE dim (identical weights to a single-device run),
+        # then zero-pad fc1 rows up to the 'model'-divisible padded dim
         dummy = jnp.zeros((2, self.input_dim), jnp.float32)
         variables = self.model.init(key, dummy, train=False)
-        params = self.shard_params(variables["params"])
+        params = variables["params"]
+        if self.padded_dim != self.input_dim:
+            pad = self.padded_dim - self.input_dim
+            params = dict(params)
+            fc1 = dict(params["fc1"])
+            fc1["kernel"] = jnp.pad(fc1["kernel"], ((0, pad), (0, 0)))
+            params["fc1"] = fc1
+        params = self.shard_params(params)
         opt_state = self.tx.init(params)
         return params, opt_state
+
+    def _pad_x(self, x):
+        if self.padded_dim != x.shape[-1]:
+            import numpy as np
+
+            x = np.concatenate(
+                [np.asarray(x),
+                 np.zeros((*x.shape[:-1], self.padded_dim - x.shape[-1]), x.dtype)],
+                axis=-1,
+            )
+        return x
 
     # ------------------------------------------------------------------ step
     def _train_step(self, params, opt_state, x, y, key):
@@ -106,6 +134,7 @@ class DistributedMlpTrainStep:
         """x/y are this PROCESS's local batch chunk: on a multi-host mesh the
         global batch is the concatenation of every host's chunk along 'data'
         (DCN-sharded feeding — each host loads only its own videos)."""
+        x = self._pad_x(x)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 

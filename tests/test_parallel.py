@@ -15,7 +15,11 @@ def test_mesh_shape():
 
 
 def test_dp_tp_train_step_matches_single_device(rng):
-    dim, hidden, bsz = 64, 32, 16
+    """The REAL head shape: fc1 is (35,203 x 256), and 35,203 is odd — the
+    'model' split needs train_dp's exact zero-pad row (35,203 -> 35,204).
+    The dp+tp step must still match a single-device step bit-closely
+    (VERDICT r4 item 4: toy dims never compiled the real TP split)."""
+    dim, hidden, bsz = 35203, 256, 16
     x = rng.normal(size=(bsz, dim)).astype(np.float32)
     y = rng.uniform(1, 5, size=(bsz,)).astype(np.float32)
 
@@ -28,6 +32,11 @@ def test_dp_tp_train_step_matches_single_device(rng):
     loss_multi, params_multi = run(make_mesh(n_data=4, n_model=2, platform="cpu"))
     loss_single, params_single = run(make_mesh(n_data=1, n_model=1, devices=jax.devices("cpu")[:1]))
     assert abs(loss_multi - loss_single) < 1e-4
+    # fc1 rows past the true dim are the zero pad that makes 35,203 divisible
+    # by the model axis — exact by construction, and must STAY zero
+    pad_rows = np.asarray(params_multi["fc1"]["kernel"])[dim:]
+    assert pad_rows.shape[0] == 1 and not pad_rows.any()
+    params_multi["fc1"]["kernel"] = params_multi["fc1"]["kernel"][:dim]
     flat_m = jax.tree_util.tree_leaves(params_multi)
     flat_s = jax.tree_util.tree_leaves(params_single)
     for a, b in zip(flat_m, flat_s):
