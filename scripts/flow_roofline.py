@@ -48,6 +48,30 @@ def timed(name, fn, *args):
         return None, None, None
 
 
+_OVERHEAD_MS = None
+
+
+def _call_overhead_ms() -> float:
+    """One dispatch+scalar-fetch round trip (~the tunnel RTT), paid per
+    TIMED CALL regardless of ITERS.  r4 numbers divided it across ITERS=8,
+    inflating every stage by ~3 ms — measure once and subtract."""
+    global _OVERHEAD_MS
+    if _OVERHEAD_MS is None:
+        f = jax.jit(lambda v: (v * 0).astype(jnp.float32))
+        x = jnp.float32(1)
+        float(f(x))
+        _OVERHEAD_MS = min(_one_call(f, x) for _ in range(7))
+        print(f"(per-call dispatch overhead: {_OVERHEAD_MS:.1f} ms — subtracted)",
+              flush=True)
+    return _OVERHEAD_MS
+
+
+def _one_call(f, x) -> float:
+    t0 = time.perf_counter()
+    float(f(x))
+    return (time.perf_counter() - t0) * 1e3
+
+
 def _timed(name, fn, *args):
     @jax.jit
     def chained(*xs):
@@ -60,12 +84,13 @@ def _timed(name, fn, *args):
         c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return c
 
+    oh = _call_overhead_ms()
     lowered = chained.lower(*args)
     compiled = lowered.compile()
     float(np.asarray(compiled(*args)))  # warm
     t0 = time.perf_counter()
     float(np.asarray(compiled(*args)))
-    dt = (time.perf_counter() - t0) / ITERS * 1e3
+    dt = max((time.perf_counter() - t0) * 1e3 - oh, 0.0) / ITERS
 
     flops = bytes_ = None
     try:
