@@ -33,7 +33,13 @@ def _build_extractor(args):
     from relaxtpu.features.pipeline import FeatureExtractor
     from relaxtpu.models import ResNet50, ViT, port_torch_resnet50, port_torch_vit, load_torch_checkpoint
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    # bf16 is the PRODUCTION default on TPU (accuracy pinned on-chip each
+    # round: parity --check production / tests/test_production_numerics.py);
+    # f32 everywhere else and under explicit --f32 (strict-parity mode).
+    use_bf16 = args.bf16
+    if use_bf16 is None:
+        use_bf16 = any(d.platform == "tpu" for d in jax.devices())
+    dtype = jnp.bfloat16 if use_bf16 else jnp.float32
     if args.resnet_weights:
         rn_vars = port_torch_resnet50(load_torch_checkpoint(args.resnet_weights))
     else:
@@ -787,6 +793,12 @@ def cmd_parity(args):
         out = all_parity(args)
         print(json.dumps(out, indent=2))
         return 0 if out["ok"] else 1
+    if args.check == "production":
+        from relaxtpu.parity import production_numerics
+
+        out = production_numerics()
+        print(json.dumps(out, indent=2))
+        return 0 if out.get("ok", True) else 1
     if args.check == "head":
         from relaxtpu.parity import head_parity
 
@@ -953,7 +965,13 @@ def build_parser():
     def add_backbone_flags(sp):
         sp.add_argument("--resnet-weights", default=None, help="torchvision resnet50 .pth")
         sp.add_argument("--vit-weights", default=None, help="DINO ViT-B/16 .pth")
-        sp.add_argument("--bf16", action="store_true", help="bfloat16 backbones")
+        grp = sp.add_mutually_exclusive_group()
+        grp.add_argument("--bf16", dest="bf16", action="store_true", default=None,
+                         help="bfloat16 backbones (the default on TPU; numerics "
+                         "pinned by `parity --check production`)")
+        grp.add_argument("--f32", dest="bf16", action="store_false",
+                         help="float32 backbones (strict-parity mode; the "
+                         "default off-TPU)")
 
     sp = sub.add_parser("predict")
     sp.add_argument("--video", required=True)
@@ -1149,10 +1167,13 @@ def build_parser():
     subparser_map["visualize"] = sp
 
     sp = sub.add_parser("parity")
-    sp.add_argument("--check", choices=["head", "demo", "features", "all"],
+    sp.add_argument("--check",
+                    choices=["head", "demo", "features", "production", "all"],
                     default="head",
                     help="features: diff the full 35,203-dim vector against "
                     "the independent torch+cv2 oracle (no blobs needed); "
+                    "production: measure the shipped TPU numerics (DEFAULT-"
+                    "precision flow vs cv2, bf16 vs f32 features) on-chip; "
                     "all: run every check whose inputs are present, one "
                     "JSON verdict (the blob-day readiness command)")
     sp.add_argument("--dataset", default="konvid_1k")

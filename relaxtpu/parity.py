@@ -281,6 +281,90 @@ def demo_parity(
     return out
 
 
+def production_numerics(seed: int = 0) -> dict:
+    """Measure the SHIPPED TPU configuration's numerics on-chip.
+
+    Two figures, both at DEFAULT matmul precision (the production setting;
+    every parity test elsewhere pins "highest"):
+
+    - Farneback flow vs cv2 (mean + p99 interior error, px) — the bf16
+      Toeplitz box-blur and warp matmuls inside the flow are the precision-
+      sensitive ops (ref cv2 call:
+      /root/reference/src/main_fragment_layerstack.py:313-315);
+    - bf16 vs f32 backbones over the full 35,203-dim feature vector
+      (cosine + median relative error).
+
+    Bounds mirror docs/MIGRATION.md's measured figures with margin (flow
+    mean <= 5e-3 px measured ~9.5e-4; cosine >= 0.9999 measured 0.99998).
+    ``tests/test_production_numerics.py`` asserts through THIS function, and
+    bench.py records its output per round, so the per-round artifact carries
+    the production-numerics state (VERDICT r4 item 6).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.devices("tpu")
+    except RuntimeError:
+        return {"skipped": "no TPU attached (production precision is TPU-only)"}
+
+    out: dict = {}
+    rng = np.random.default_rng(seed)
+
+    try:
+        import cv2
+        from scipy.ndimage import gaussian_filter
+
+        from relaxtpu.ops.flow import farneback_flow
+
+        big = gaussian_filter(rng.normal(0, 60, (140, 180)).astype(np.float32), 1.5) + 128
+        prev = np.clip(big[8:-12, 8:-12], 0, 255).astype(np.uint8)
+        nxt = np.clip(big[7:-13, 6:-14], 0, 255).astype(np.uint8)
+        want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+        with jax.default_matmul_precision("default"):
+            got = np.asarray(
+                farneback_flow(
+                    jnp.asarray(prev), jnp.asarray(nxt),
+                    pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                    poly_n=5, poly_sigma=1.2,
+                )
+            )
+        s = 24  # interior: cv2's own border handling differs at the edge
+        err = np.abs(got[s:-s, s:-s] - want[s:-s, s:-s])
+        out["flow_mean_err_px"] = float(err.mean())
+        out["flow_p99_err_px"] = float(np.percentile(err, 99))
+        out["flow_ok"] = (
+            out["flow_mean_err_px"] <= 5e-3 and out["flow_p99_err_px"] <= 5e-2
+        )
+    except ImportError as e:
+        out["flow_skipped"] = f"cv2 unavailable: {e}"
+
+    from relaxtpu.features.pipeline import FeatureExtractor
+    from relaxtpu.models import ResNet50, ViT
+    from relaxtpu.models.initutil import fast_init
+
+    rn_vars = fast_init(ResNet50(), jnp.zeros((1, 224, 224, 3)))
+    vit_vars = fast_init(ViT(), jnp.zeros((1, 224, 224, 3)))
+    h, w, n = 120, 160, 5
+    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+    nxt_f = np.roll(frames[: n - 1], (2, -3), axis=(1, 2))
+    prev_f = frames[: n - 1]
+    vecs = {}
+    with jax.default_matmul_precision("default"):
+        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+            fx = FeatureExtractor(rn_vars, vit_vars, dtype=dtype)
+            vecs[name] = np.asarray(
+                fx.video_feature_async(frames, prev_f, nxt_f)
+            ).astype(np.float64)
+    a, b = vecs["f32"], vecs["bf16"]
+    out["bf16_cosine"] = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    denom = np.maximum(np.abs(a), 1e-3)
+    out["bf16_median_rel"] = float(np.median(np.abs(a - b) / denom))
+    out["bf16_ok"] = out["bf16_cosine"] >= 0.9999 and out["bf16_median_rel"] <= 5e-2
+    out["ok"] = out.get("flow_ok", True) and out["bf16_ok"]
+    return out
+
+
 def all_parity(args) -> dict:
     """One-command readiness surface: run EVERY parity check whose inputs are
     present and emit a single JSON verdict (VERDICT r3 item 9).
@@ -340,6 +424,8 @@ def all_parity(args) -> dict:
             args.scaler, args.resnet_weights, args.vit_weights,
             expected_mos=args.expected_mos,
         )
+
+    out["checks"]["production"] = production_numerics()
 
     ran = [c for c in out["checks"].values() if "skipped" not in c]
     out["ran"] = len(ran)

@@ -130,6 +130,13 @@ def test_parity_cli_all(tmp_path, rng, capsys, monkeypatch):
         return {"ok": True, "segments": {}, "weights": "stub"}
 
     monkeypatch.setattr(parity_mod, "feature_parity", fake_feature_parity)
+    # production numerics measures the real chip when one is attached —
+    # stub it so the ran count is host-independent (its real path is
+    # TPU-gated in tests/test_production_numerics.py)
+    monkeypatch.setattr(
+        parity_mod, "production_numerics",
+        lambda *a, **k: {"skipped": "stubbed in test"},
+    )
 
     art = _make_artifacts(tmp_path, rng)
     rc = main([
@@ -143,6 +150,7 @@ def test_parity_cli_all(tmp_path, rng, capsys, monkeypatch):
     assert rc == 0 and out["ok"] is True and out["ran"] == 2
     assert calls["features"] == (None, None, None)
     assert out["checks"]["head"]["ok"] is True
+    assert "production" in out["checks"]  # wired into the blob-day surface
     # demo skipped: no --video / backbone weights, and the verdict says so
     assert "--video" in out["checks"]["demo"]["skipped"]
     assert "--resnet-weights" in out["checks"]["demo"]["skipped"]
@@ -156,6 +164,10 @@ def test_parity_cli_all_fails_on_divergence(tmp_path, rng, capsys, monkeypatch):
     monkeypatch.setattr(
         parity_mod, "feature_parity",
         lambda *a, **k: {"ok": False, "segments": {}},
+    )
+    monkeypatch.setattr(
+        parity_mod, "production_numerics",
+        lambda *a, **k: {"skipped": "stubbed in test"},
     )
     rc = main(["parity", "--check", "all"])
     out = json.loads(capsys.readouterr().out.strip())

@@ -1,26 +1,24 @@
-"""Production numerics path, asserted ON TPU (VERDICT r3 item 2).
+"""Production numerics path, asserted ON TPU (VERDICT r3 item 2, r4 item 6).
 
 conftest pins ``jax_default_matmul_precision = "highest"`` suite-wide so the
 f32 parity tests pass on the MXU — which means the SHIPPED configuration
 (DEFAULT-precision bf16 warp/box-blur matmuls inside the Farneback flow, and
-``--bf16`` backbones) was never exercised by an automated test.  These tests
-run only on a TPU-attached host (the configuration under test is the TPU
-production path; CPU executes all matmuls in f64/f32 so DEFAULT precision is
-not observable there) and re-assert the figures measured by
-``scripts/exp_box_prec.py`` / ``scripts/exp_warp_cfg.py`` and recorded in
-docs/MIGRATION.md with margin:
+bf16 backbones) would never be exercised by an automated test.  This test
+runs only on a TPU-attached host (CPU executes all matmuls in f64/f32 so
+DEFAULT precision is not observable there) and asserts through
+``relaxtpu.parity.production_numerics`` — the same surface ``parity --check
+production`` and bench.py's per-round ``production_numerics`` artifact key
+use — re-checking the figures measured by ``scripts/exp_box_prec.py`` /
+``scripts/exp_warp_cfg.py`` and recorded in docs/MIGRATION.md with margin:
 
 - flow vs cv2 at DEFAULT precision: mean interior error <= 5e-3 px
   (measured ~9.5e-4 px; the f32/HIGH parity bound elsewhere is 0.05 px —
   ref cv2 call: /root/reference/src/main_fragment_layerstack.py:313-315)
 - bf16 backbones vs f32 over the full 35,203-dim vector: cosine >= 0.9999
-  (measured 0.99998, docs/MIGRATION.md:134-137)
+  (measured 0.99998, docs/MIGRATION.md)
 """
-import numpy as np
-import pytest
-
 import jax
-import jax.numpy as jnp
+import pytest
 
 
 def _tpu_devices():
@@ -35,69 +33,16 @@ requires_tpu = pytest.mark.skipif(
 )
 
 
-def _textured(rng, h, w, sigma=1.5):
-    from scipy.ndimage import gaussian_filter
-
-    return gaussian_filter(
-        rng.normal(0, 60, (h, w)).astype(np.float32), sigma
-    ) + 128
-
-
 @pytest.mark.slow
 @requires_tpu
-def test_flow_vs_cv2_at_default_precision(rng):
-    """The shipped flow (DEFAULT-precision bf16 Toeplitz box blur + warp
-    matmuls) stays within 5e-3 px of cv2 on TPU numerics."""
-    cv2 = pytest.importorskip("cv2")
-    from relaxtpu.ops.flow import farneback_flow
+def test_production_numerics_on_chip():
+    pytest.importorskip("cv2")
+    from relaxtpu.parity import production_numerics
 
-    big = _textured(rng, 140, 180)
-    prev = np.clip(big[8:-12, 8:-12], 0, 255).astype(np.uint8)
-    nxt = np.clip(big[7:-13, 6:-14], 0, 255).astype(np.uint8)
-    want = cv2.calcOpticalFlowFarneback(prev, nxt, None, 0.5, 3, 15, 3, 5, 1.2, 0)
-    with jax.default_matmul_precision("default"):
-        got = np.asarray(
-            farneback_flow(
-                jnp.asarray(prev), jnp.asarray(nxt),
-                pyr_scale=0.5, levels=3, winsize=15, iterations=3,
-                poly_n=5, poly_sigma=1.2,
-            )
-        )
-    s = 24  # interior: cv2's own border handling differs at the edge
-    err = np.abs(got[s:-s, s:-s] - want[s:-s, s:-s])
-    assert float(err.mean()) <= 5e-3, f"mean {err.mean():.2e} px"
-    assert float(np.percentile(err, 99)) <= 5e-2, (
-        f"p99 {np.percentile(err, 99):.2e} px"
-    )
-
-
-@pytest.mark.slow
-@requires_tpu
-def test_bf16_features_vs_f32(rng):
-    """--bf16 backbone features track f32 to the MIGRATION.md figure."""
-    from relaxtpu.features.pipeline import FeatureExtractor
-    from relaxtpu.models import ResNet50, ViT
-    from relaxtpu.models.initutil import fast_init
-
-    rn_vars = fast_init(ResNet50(), jnp.zeros((1, 224, 224, 3)))
-    vit_vars = fast_init(ViT(), jnp.zeros((1, 224, 224, 3)))
-
-    h, w, n = 120, 160, 5
-    frames = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
-    nxt = np.roll(frames[: n - 1], (2, -3), axis=(1, 2))
-    prev = frames[: n - 1]
-
-    vecs = {}
-    with jax.default_matmul_precision("default"):
-        for name, dtype in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
-            fx = FeatureExtractor(rn_vars, vit_vars, dtype=dtype)
-            vecs[name] = np.asarray(
-                fx.video_feature_async(frames, prev, nxt)
-            ).astype(np.float64)
-    a, b = vecs["f32"], vecs["bf16"]
-    assert a.shape == (35203,)
-    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
-    assert cos >= 0.9999, f"full-vector cosine {cos:.6f}"
-    denom = np.maximum(np.abs(a), 1e-3)
-    med_rel = float(np.median(np.abs(a - b) / denom))
-    assert med_rel <= 5e-2, f"median relative error {med_rel:.3e}"
+    out = production_numerics()
+    assert "skipped" not in out, out
+    assert out["flow_mean_err_px"] <= 5e-3, out
+    assert out["flow_p99_err_px"] <= 5e-2, out
+    assert out["bf16_cosine"] >= 0.9999, out
+    assert out["bf16_median_rel"] <= 5e-2, out
+    assert out["ok"] is True
