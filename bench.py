@@ -86,6 +86,10 @@ def _arm_deadline() -> None:
                 else "outer timeout (SIGTERM) fired mid-extra; detail is partial"
             )
             _emit(vps, baseline_vps, detail)
+        # INTENTIONALLY rc=0: the driver records the last JSON line only from
+        # successful runs, and a partial artifact with detail.deadline_hit set
+        # beats no artifact.  Drivers checking for timeouts must inspect
+        # detail.deadline_hit, not the return code (ADVICE r4).
         os._exit(0)
 
     signal.signal(signal.SIGALRM, handler)
@@ -251,6 +255,12 @@ def measure_tpu_batched(fx, videos, batch: int = 4) -> float:
     return (len(packed) - len(groups[0])) / dt
 
 
+def _time_call(f) -> float:
+    t0 = time.perf_counter()
+    f()
+    return (time.perf_counter() - t0) * 1000
+
+
 def measure_stage_breakdown(fx, video) -> dict:
     """Per-stage on-device timings (ms) of the whole-video program's pieces.
 
@@ -270,7 +280,18 @@ def measure_stage_breakdown(fx, video) -> dict:
     frames, prev, nxt, fyuv, nyuv = video
     h, w = frames.shape[1:3]
 
-    def device_ms(stage_fn, *args, iters=3):
+    # One dispatch+scalar-fetch round trip is paid per TIMED CALL, not per
+    # scan iteration — on this tunnel that is ~the RTT (~26 ms).  Earlier
+    # rounds divided it across iters=3, inflating every small stage by ~9 ms
+    # (r4 stage_ms summed to ~156 ms vs a 114 ms fused program largely for
+    # this reason, not overlap).  Measure it once and subtract.
+    oh_fn = jax.jit(lambda v: (v * 0).astype(jnp.float32))
+    float(oh_fn(jnp.float32(1)))
+    overhead_ms = min(
+        _time_call(lambda: float(oh_fn(jnp.float32(1)))) for _ in range(7)
+    )
+
+    def device_ms(stage_fn, *args, iters=10):
         def chained(*a):
             def body(c, _):
                 out = stage_fn(c, *a)
@@ -282,9 +303,8 @@ def measure_stage_breakdown(fx, video) -> dict:
 
         fn = jax.jit(chained)
         float(fn(*args))  # compile + warm
-        t0 = time.perf_counter()
-        float(fn(*args))
-        return (time.perf_counter() - t0) / iters * 1000
+        best = min(_time_call(lambda: float(fn(*args))) for _ in range(2))
+        return max(best - overhead_ms, 0.0) / iters
 
     out = {}
     fbuf = jnp.asarray(pack_i420(*fyuv))
@@ -668,11 +688,50 @@ def main():
     if _within_budget():
         try:
             detail["stage_ms"] = measure_stage_breakdown(fx, videos[0])
+            detail["stage_ms_note"] = (
+                "standalone per-stage timings; XLA overlaps them inside the "
+                "fused program, so their sum exceeds device_program_ms — "
+                "do not add them"
+            )
+            # per-backbone MFU from the RTT-corrected standalone forwards
+            # (VERDICT r4 item 2; roofline: scripts/backbone_roofline.py)
+            import jax as _jax
+
+            kind = _jax.devices()[0].device_kind
+            peak = next(
+                (v for k, v in _PEAK_BF16.items() if kind.startswith(k)), None
+            )
+            sm = detail["stage_ms"]
+            if peak and sm.get("resnet50_48img"):
+                detail["mfu_resnet"] = round(
+                    48 * 4.1e9 * 2 / (sm["resnet50_48img"] / 1e3) / peak, 4
+                )
+            if peak and sm.get("vit_48img"):
+                detail["mfu_vit"] = round(
+                    48 * 17.6e9 * 2 / (sm["vit_48img"] / 1e3) / peak, 4
+                )
             _mark(detail, "stage_ms")
         except Exception as e:
             detail["stage_ms_error"] = str(e)[:120]
     else:
         detail["stage_ms"] = "skipped: budget"
+
+    # shipped-precision numerics, measured on-chip each round (the TPU-gated
+    # tests assert the same surface; this records their state in the artifact)
+    if _within_budget():
+        try:
+            from relaxtpu.parity import production_numerics
+
+            pn = production_numerics()
+            detail["production_numerics"] = {
+                k: (round(v, 6) if isinstance(v, float) else v)
+                for k, v in pn.items()
+            }
+            _mark(detail, "production_numerics")
+        except Exception as e:
+            detail["production_numerics_error"] = str(e)[:120]
+    else:
+        detail["production_numerics"] = "skipped: budget"
 
     # ---- expensive sweeps, cheapest first ----
     # stream pass 2: best-of-2 sustained (the tunneled link's throughput
@@ -695,6 +754,20 @@ def main():
             vps = max(vps, vps_batch)
             _PARTIAL[0] = vps
             _mark(detail, "batch4")
+            # validate the --batch auto heuristic against the measured winner
+            # (pick_serving_mode's 1.5-RTT / 10%-overlap constants accrue
+            # per-round evidence here; see tests/test_linkprobe.py)
+            if link.get("link_MBps"):
+                from relaxtpu.utils.linkprobe import pick_serving_mode
+
+                pred_batch, _reason = pick_serving_mode(
+                    detail.get("bytes_per_video_i420", (N_FRAMES + N_PAIRS) * H * W * 3 // 2),
+                    link,
+                )
+                detail["predicted_mode"] = "batch" if pred_batch > 1 else "stream"
+                detail["measured_mode_winner"] = (
+                    "batch" if vps_batch > vps_stream else "stream"
+                )
         except Exception as e:
             detail["vps_batch4_error"] = str(e)[:120]
     else:
@@ -737,17 +810,21 @@ def main():
         try:
             # 2 videos only (one warmup, one timed): a 4K video is ~400 MB of
             # I420 + ~760 MB of host BGR frames; more would pressure RAM.
-            # NOTE the e2e 4K number through THIS tunnel is relay-noise-bound
-            # (5x per-video swings at steady state; device program 2.1 s,
-            # transfer floor ~0.095 vps at the sustained link rate — see
-            # scripts/exp_4k_steady.py / exp_4k_attrib.py and README).
             videos_4k = synthetic_videos(rng, 2, N_FRAMES, 2160, 3840, yuv_only=True)
             detail["vps_4k"] = round(measure_tpu(fx, videos_4k), 4)
             _mark(detail, "4k")
-            detail["vps_4k_note"] = (
-                "relay-noise-bound through this tunnel; device-bound 0.48 vps, "
-                "transfer floor ~0.095 vps (scripts/exp_4k_attrib.py)"
-            )
+            # attribution is CONDITIONAL, same trigger as the 1080p row: only
+            # a measured sub-half-floor result earns the relay-noise note
+            # (device-bound 0.48 vps; scripts/exp_4k_steady.py /
+            # exp_4k_attrib.py measured 5x per-video swings at steady state).
+            floor_4k = detail.get("transfer_floor_vps", {}).get("4k")
+            if floor_4k and detail["vps_4k"] < 0.5 * floor_4k:
+                detail["vps_4k_note"] = (
+                    "far below the transfer floor: the relay's large-buffer "
+                    "handling is bimodal at ~400 MB payloads — link state, "
+                    "not the pipeline; device-bound 0.48 vps "
+                    "(scripts/exp_4k_attrib.py)"
+                )
         except Exception as e:
             detail["vps_4k_error"] = str(e)[:120]
     else:
@@ -755,7 +832,11 @@ def main():
 
     import signal
 
-    signal.alarm(0)  # all extras done: disarm the deadline
+    # all extras done: disarm the deadline AND the SIGTERM partial-emitter —
+    # a driver SIGTERM during post-emit teardown must not re-emit the
+    # artifact mislabeled as partial (ADVICE r4)
+    signal.alarm(0)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
     _emit(vps, baseline_vps, detail)
 
 

@@ -9,11 +9,12 @@ content per variant (defeats relay/content caching), pair semantics
 /root/reference/src/vf_extract.py), and zero BGR copies when the YUV-only
 path asks for none.
 """
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import synthetic_video, synthetic_videos  # noqa: E402
 
@@ -87,7 +88,10 @@ def test_sigterm_emits_partial_artifact():
         "raise SystemExit('handler did not exit')\n"
     )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60,
+        # the child does sys.path.insert(0, '.') to import bench — pin its
+        # cwd to the repo root so pytest can be invoked from anywhere
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert out.returncode == 0, out.stderr
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
