@@ -60,13 +60,14 @@ _PARTIAL = [None, None, None]
 
 
 def _emit(vps, baseline_vps, detail) -> None:
+    vps = vps or 0.0
     print(
         json.dumps(
             {
                 "metric": "videos/sec end-to-end VQA per chip (540p, 16f+16p)",
                 "value": round(vps, 4),
                 "unit": "videos/sec",
-                "vs_baseline": round(vps / baseline_vps, 2),
+                "vs_baseline": round(vps / baseline_vps, 2) if baseline_vps else 0.0,
                 "detail": detail,
             }
         ),
@@ -74,29 +75,50 @@ def _emit(vps, baseline_vps, detail) -> None:
     )
 
 
+def _signal_handler(signum, frame):
+    import signal
+
+    vps, baseline_vps, detail = _PARTIAL
+    if detail is None:
+        # Died before stream pass 1 even finished (a link stall or compile
+        # wedge): a placeholder artifact naming the failure still beats a
+        # silent empty log — measured: one 580 s run died exactly here when
+        # the relay link entered its slow bimodal mode mid-stream.
+        detail = {
+            "deadline_hit": (
+                "outer timeout before stream pass 1 completed (link stall "
+                "or compile wedge); no throughput was measured — value 0.0 "
+                "is a placeholder, not a measurement"
+            ),
+            "elapsed_s": round(time.monotonic() - _T_START, 1),
+        }
+    else:
+        detail["deadline_hit"] = (
+            "hard deadline fired mid-extra; detail is partial"
+            if signum == signal.SIGALRM
+            else "outer timeout (SIGTERM) fired mid-extra; detail is partial"
+        )
+    _emit(vps, baseline_vps, detail)
+    # INTENTIONALLY rc=0: the driver records the last JSON line only from
+    # successful runs, and a partial artifact with detail.deadline_hit set
+    # beats no artifact.  Drivers checking for timeouts must inspect
+    # detail.deadline_hit, not the return code (ADVICE r4).
+    os._exit(0)
+
+
+def _arm_sigterm() -> None:
+    """Install the partial-emit SIGTERM handler — called at main() entry, so
+    an outer driver timeout can never kill the run silently, even during
+    stream pass 1 (before any measurement exists)."""
+    import signal
+
+    signal.signal(signal.SIGTERM, _signal_handler)
+
+
 def _arm_deadline() -> None:
     import signal
 
-    def handler(signum, frame):
-        vps, baseline_vps, detail = _PARTIAL
-        if detail is not None:
-            detail["deadline_hit"] = (
-                "hard deadline fired mid-extra; detail is partial"
-                if signum == signal.SIGALRM
-                else "outer timeout (SIGTERM) fired mid-extra; detail is partial"
-            )
-            _emit(vps, baseline_vps, detail)
-        # INTENTIONALLY rc=0: the driver records the last JSON line only from
-        # successful runs, and a partial artifact with detail.deadline_hit set
-        # beats no artifact.  Drivers checking for timeouts must inspect
-        # detail.deadline_hit, not the return code (ADVICE r4).
-        os._exit(0)
-
-    signal.signal(signal.SIGALRM, handler)
-    # An outer driver timeout usually delivers SIGTERM; emit the partial
-    # artifact instead of dying silently (the SIGALRM deadline may sit up to
-    # BUDGET+GRACE out, past an impatient driver).
-    signal.signal(signal.SIGTERM, handler)
+    signal.signal(signal.SIGALRM, _signal_handler)
     remaining = BUDGET_S + DEADLINE_GRACE_S - (time.monotonic() - _T_START)
     signal.alarm(max(int(remaining), 30))
 
@@ -591,6 +613,7 @@ def main():
     from relaxtpu.utils.jaxcache import enable_compilation_cache
 
     enable_compilation_cache()
+    _arm_sigterm()  # outer timeouts must emit SOMETHING from second zero
     rng = np.random.default_rng(0)
     videos = synthetic_videos(rng, N_VIDEOS + 1)
     _synth_done = time.monotonic() - _T_START

@@ -83,6 +83,7 @@ def test_sigterm_emits_partial_artifact():
         "import bench\n"
         "bench._PARTIAL[0], bench._PARTIAL[1] = 1.5, 0.5\n"
         "bench._PARTIAL[2] = {'vps_stream': 1.5}\n"
+        "bench._arm_sigterm()\n"
         "bench._arm_deadline()\n"
         "os.kill(os.getpid(), signal.SIGTERM)\n"
         "raise SystemExit('handler did not exit')\n"
@@ -98,3 +99,31 @@ def test_sigterm_emits_partial_artifact():
     d = _json.loads(line)
     assert d["value"] == 1.5 and d["vs_baseline"] == 3.0
     assert "SIGTERM" in d["detail"]["deadline_hit"]
+
+
+def test_sigterm_before_any_measurement_emits_placeholder():
+    """SIGTERM during stream pass 1 (nothing measured yet) must still emit a
+    JSON line — a placeholder naming the failure, value 0.0 — instead of
+    dying silently.  Measured failure mode: a 580 s outer timeout killed a
+    run mid-stream (relay link in its slow bimodal mode) with an empty log."""
+    import json as _json
+    import subprocess
+
+    code = (
+        "import os, signal, sys\n"
+        "sys.path.insert(0, '.')\n"
+        "import bench\n"
+        "bench._arm_sigterm()\n"  # what main() does at entry
+        "os.kill(os.getpid(), signal.SIGTERM)\n"
+        "raise SystemExit('handler did not exit')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=60,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    d = _json.loads(line)
+    assert d["value"] == 0.0 and d["vs_baseline"] == 0.0
+    assert "placeholder" in d["detail"]["deadline_hit"]
+    assert "elapsed_s" in d["detail"]
