@@ -32,9 +32,10 @@ class Attention(nn.Module):
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    fused: bool = False  # Pallas single-tile kernel (ops/attention.py)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, need_weights: bool = True):
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, use_bias=True, dtype=self.dtype, name="qkv")(x)
@@ -46,6 +47,16 @@ class Attention(nn.Module):
         q = qkv[..., : self.dim].reshape(b, n, self.num_heads, head_dim)
         k = qkv[..., self.dim : 2 * self.dim].reshape(b, n, self.num_heads, head_dim)
         v = qkv[..., 2 * self.dim :].reshape(b, n, self.num_heads, head_dim)
+        if self.fused and not need_weights:
+            # Fused path: the (B, H, N, N) score tensor never reaches HBM.
+            # Only for weight-free forwards — the visualization path needs
+            # the attention matrix itself and keeps the einsum formulation.
+            from relaxtpu.ops.attention import fused_mha
+
+            y = fused_mha(q, k, v, scale=head_dim ** -0.5,
+                          interpret=jax.default_backend() != "tpu")
+            y = y.reshape(b, n, c)
+            return nn.Dense(self.dim, dtype=self.dtype, name="proj")(y), None
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                           preferred_element_type=jnp.float32) * (head_dim ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
@@ -60,11 +71,15 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: int = 4
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     @nn.compact
     def __call__(self, x, return_attention: bool = False):
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=name)  # noqa: E731
-        y, attn = Attention(self.dim, self.num_heads, dtype=self.dtype, name="attn")(ln("norm1")(x))
+        y, attn = Attention(
+            self.dim, self.num_heads, dtype=self.dtype,
+            fused=self.fused_attention, name="attn",
+        )(ln("norm1")(x), need_weights=return_attention)
         if return_attention:
             return attn
         x = x + y
@@ -83,6 +98,7 @@ class ViT(nn.Module):
     depth: int = 12
     num_heads: int = 12
     dtype: Any = jnp.float32
+    fused_attention: bool = False
 
     def interpolate_pos_embed(self, pos_embed, h_patches, w_patches):
         """Bicubic resize of the (1, N+1, D) position table (ref :197-219)."""
@@ -123,7 +139,8 @@ class ViT(nn.Module):
         y = y + self.interpolate_pos_embed(pos_embed.astype(self.dtype), hp, wp)
 
         for i in range(self.depth):
-            blk = Block(self.embed_dim, self.num_heads, dtype=self.dtype, name=f"block{i}")
+            blk = Block(self.embed_dim, self.num_heads, dtype=self.dtype,
+                        fused_attention=self.fused_attention, name=f"block{i}")
             if reduce == "last_attn" and i == self.depth - 1:
                 # attention of the last block (B, heads, N+1, N+1), for the
                 # visualization path (ref get_last_selfattention :241-250)

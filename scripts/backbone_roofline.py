@@ -272,13 +272,43 @@ def run_vit(args, x, dtype):
         vitmod.Block = orig_block
 
 
+def run_attn(args, x, dtype):
+    """Fused (Pallas single-tile) vs einsum attention, full ViT forward.
+
+    The fused kernel (ops/attention.py) keeps each head's (256, 256) score
+    tile in VMEM; the einsum path materializes the (B, 12, 197, 197) scores
+    in HBM around the softmax.  Parity is asserted on the same weights
+    before timing."""
+    from relaxtpu.models.initutil import fast_init
+    from relaxtpu.models.vit import ViT
+
+    base = ViT(dtype=dtype)
+    vit_vars = fast_init(base, jnp.zeros((1, 224, 224, 3)), key=jax.random.PRNGKey(1))
+    fused = ViT(dtype=dtype, fused_attention=True)
+
+    ref = jax.jit(lambda v, xx: base.apply(v, xx, reduce="stats"))(vit_vars, x)
+    got = jax.jit(lambda v, xx: fused.apply(v, xx, reduce="stats"))(vit_vars, x)
+    ref32, got32 = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    cos = float(np.dot(ref32.ravel(), got32.ravel())
+                / (np.linalg.norm(ref32) * np.linalg.norm(got32) + 1e-30))
+    print(f"  fused-vs-einsum stats: max abs err "
+          f"{np.max(np.abs(ref32 - got32)):.3e}, cosine {cos:.6f}")
+
+    for m, label in ((base, "vit full, einsum attention"),
+                     (fused, "vit full, fused attention")):
+        fl = flops_of(lambda v, xx: m.apply(v, xx, reduce="stats"), vit_vars, x)
+        report(label, device_ms(
+            lambda c, v, xx: m.apply(v, xx + c.astype(dtype), reduce="stats"),
+            vit_vars, x), fl)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=48)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--section", default="all",
-                    choices=["all", "resnet", "stem", "vit"])
+                    choices=["all", "resnet", "stem", "vit", "attn"])
     args = ap.parse_args()
 
     from relaxtpu.utils.jaxcache import enable_compilation_cache
@@ -296,6 +326,8 @@ def main():
         run_stem(args, x, dtype, rng, b)
     if args.section in ("all", "vit"):
         run_vit(args, x, dtype)
+    if args.section == "attn":
+        run_attn(args, x, dtype)
 
 
 if __name__ == "__main__":
