@@ -173,3 +173,30 @@ def test_parity_cli_all_fails_on_divergence(tmp_path, rng, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out.strip())
     assert rc == 1 and out["ok"] is False and out["ran"] == 1
     assert "skipped" in out["checks"]["head"]
+
+
+def test_feature_parity_pins_matmul_precision(monkeypatch):
+    """feature_parity is the STRICT-f32 check: it must trace its pipeline
+    under matmul precision 'highest'.  On a TPU host the default precision
+    runs f32 matmuls as bf16 passes — measured ~5e-3 relative error on the
+    ViT segments, an order past the accepted f32 tolerances — and the test
+    suite's global 'highest' (conftest) masked exactly that regression, so
+    this spies on the context manager instead of the numerics."""
+    import jax
+
+    import relaxtpu.parity as parity_mod
+
+    seen = []
+    real = jax.default_matmul_precision
+
+    def spy(level):
+        seen.append(level)
+        return real(level)
+
+    monkeypatch.setattr(jax, "default_matmul_precision", spy)
+    # tiny synthetic run: 2 frames at the default synthetic resolution
+    out = parity_mod.feature_parity(None, n_frames=2)
+    assert "highest" in seen
+    assert set(out["segments"]) == {
+        "resnet_stack", "vit_pool", "frag_resnet", "frag_vit"
+    }
