@@ -404,17 +404,22 @@ def measure_link() -> dict:
     return probe(n_mb=64, reps=3)
 
 
-def measure_device_program(fx, video, iters: int = 6) -> dict:
+def measure_device_program(fx, video, iters: int = 12) -> dict:
     """Device-program-only cost of the fused whole-video 540p program.
 
     Reuses the program the stream pass already compiled
-    (``fx._video_fn_i420_v``) on device-RESIDENT inputs: enqueues ``iters``
+    (``fx._video_fn_i420_v``) on device-RESIDENT inputs: enqueues
     executions back-to-back and blocks once, so per-dispatch round-trips
-    pipeline away and the quotient is the device execution time.  Derives:
-    a device-bound vps ceiling, a projected PCIe-attached-host vps (device
-    time + upload at 12 GB/s, the two overlapped), an MFU on useful
-    backbone FLOPs, and — when XLA cost analysis is available — the whole
-    program's FLOPs and the MXU utilization on that basis."""
+    pipeline away.  The constant cost per timed call (final output fetch +
+    one tunnel round trip, ~RTT — the r5 timing-methodology correction) is
+    cancelled EXACTLY by differencing two run lengths: per-iter =
+    (t[iters] - t[iters/3]) / (iters - iters/3).  Earlier rounds divided
+    that constant across iters=6, inflating device_program_ms by ~RTT/6
+    (~5 ms on this tunnel).  Derives: a device-bound vps ceiling, a
+    projected PCIe-attached-host vps (device time + upload at 12 GB/s, the
+    two overlapped), an MFU on useful backbone FLOPs, and — when XLA cost
+    analysis is available — the whole program's FLOPs and the MXU
+    utilization on that basis."""
     import jax.numpy as jnp
 
     from relaxtpu.ops.colorspace import pack_i420
@@ -428,10 +433,21 @@ def measure_device_program(fx, video, iters: int = 6) -> dict:
     fn = fx._video_fn_i420_v
     args = (fx.resnet_vars, fx.vit_vars, fbuf, nbuf, n_f, n_p, h, w)
     np.asarray(fn(*args))  # warm (already compiled by the stream pass)
-    t0 = time.perf_counter()
-    outs = [fn(*args) for _ in range(iters)]
-    np.asarray(outs[-1])  # same device stream: waits for all
-    ms = (time.perf_counter() - t0) / iters * 1000
+
+    def timed(n):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            outs = [fn(*args) for _ in range(n)]
+            np.asarray(outs[-1])  # same device stream: waits for all
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short = max(iters // 3, 1)
+    t_long, t_short = timed(iters), timed(short)
+    ms = (t_long - t_short) / (iters - short) * 1000
+    if ms <= 0.0:  # pathological tunnel jitter swamped the difference
+        ms = t_long / iters * 1000
 
     import jax
 
