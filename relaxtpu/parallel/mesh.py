@@ -25,10 +25,35 @@ def make_mesh(
     """
     if devices is None:
         devices = jax.devices(platform) if platform else jax.devices()
+        needed = (n_data or 1) * n_model
+        if platform is None and n_data is not None and len(devices) < needed:
+            # The default backend cannot satisfy the requested mesh (e.g. a
+            # single tunneled TPU on this host).  Fall back to the virtual
+            # CPU host platform — the same preference dryrun_multichip
+            # documents — so multi-device code paths stay exercisable.
+            try:
+                cpus = jax.devices("cpu")
+            except RuntimeError:
+                cpus = []
+            if len(cpus) >= needed:
+                import logging
+
+                logging.warning(
+                    "make_mesh: default backend has %d device(s) < %d "
+                    "requested; using the virtual CPU host mesh",
+                    len(devices), needed,
+                )
+                devices = cpus
     devices = np.asarray(devices)
     if n_data is None:
         n_data = devices.size // n_model
-    grid = devices[: n_data * n_model].reshape(n_data, n_model)
+    needed = n_data * n_model
+    if devices.size < needed:
+        raise ValueError(
+            f"mesh needs {needed} devices (data={n_data} x model={n_model}); "
+            f"only {devices.size} available"
+        )
+    grid = devices[:needed].reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 

@@ -14,6 +14,24 @@ def test_mesh_shape():
     assert mesh.shape == {"data": 4, "model": 2}
 
 
+def test_mesh_falls_back_to_virtual_cpu(monkeypatch):
+    """A requested mesh larger than the default backend (e.g. one tunneled
+    TPU) falls back to the virtual CPU host devices; an unsatisfiable
+    request raises instead of reshape-crashing."""
+    real = jax.devices
+
+    def fake(platform=None):
+        cpus = real("cpu")
+        return cpus if platform == "cpu" else cpus[:1]
+
+    monkeypatch.setattr(jax, "devices", fake)
+    mesh = make_mesh(n_data=4, n_model=2)  # default backend has 1 device
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert all(d.platform == "cpu" for d in mesh.devices.ravel())
+    with pytest.raises(ValueError, match="mesh needs"):
+        make_mesh(n_data=64, n_model=2)
+
+
 def test_dp_tp_train_step_matches_single_device(rng):
     """The REAL head shape: fc1 is (35,203 x 256), and 35,203 is odd — the
     'model' split needs train_dp's exact zero-pad row (35,203 -> 35,204).

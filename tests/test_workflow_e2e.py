@@ -51,10 +51,15 @@ def test_extract_train_predict_workflow(tmp_path, rng, capsys):
     # +-1 LSB, which flips near-tie top-k patches — ingest equivalence is
     # covered separately (test_extract_yuv_ingest_consistent, cosine-level);
     # THIS test guards aggregation-path equality and must be like-for-like.
+    # --f32 for the same reason: on a TPU-attached host the CLI defaults to
+    # bf16 backbones (production), while the direct comparison below builds
+    # an f32 extractor — precision equivalence is covered separately by
+    # parity --check production.
     out_dir = str(tmp_path / "features")
     main([
         "extract", "--dataset", "konvid_1k", "--root", str(data_root),
         "--metadata-csv", meta_csv, "--output", out_dir, "--ingest", "bgr",
+        "--f32",
     ])
     feats = np.load(f"{out_dir}/konvid_1k_features.npy")
     assert feats.shape == (4, 35203)
@@ -172,11 +177,14 @@ def test_extract_mesh_cli(tmp_path, rng, capsys):
     meta.to_csv(meta_csv, index=False)
 
     feats = {}
+    # --f32 on both: on a single-TPU host the mesh path falls back to the
+    # virtual CPU devices while the single path stays on the TPU (bf16
+    # production default) — the comparison must be same-precision.
     for tag, extra in (("mesh", ["--n-data", "2"]), ("single", [])):
         out = str(tmp_path / f"f_{tag}")
         main([
             "extract", "--dataset", "konvid_1k", "--root", str(data_root),
-            "--metadata-csv", meta_csv, "--output", out, *extra,
+            "--metadata-csv", meta_csv, "--output", out, "--f32", *extra,
         ])
         capsys.readouterr()
         feats[tag] = np.load(os.path.join(out, "konvid_1k_features.npy"))
