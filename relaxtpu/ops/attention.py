@@ -58,9 +58,10 @@ def _mha_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_valid: int, scale: float,
         ).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret",
+                                             "per_head_grid"))
 def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float,
-              interpret: bool = False) -> jax.Array:
+              interpret: bool = False, per_head_grid: bool = False) -> jax.Array:
     """Multi-head attention, (B, N, H, D) -> (B, N, H, D), fused on TPU.
 
     ``q``/``k``/``v`` are in the ViT's natural token-major layout (the
@@ -78,21 +79,35 @@ def fused_mha(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float,
     vt = jnp.swapaxes(jnp.pad(v, pad), 1, 2)
     kt = jnp.transpose(jnp.pad(k, pad), (0, 2, 3, 1))  # (B, H, D, NP)
 
-    kern = functools.partial(_mha_kernel, n_valid=n, scale=scale, heads=h)
+    # Grid iterations are independent — 'parallel' semantics lets Mosaic
+    # pipeline the per-step DMA against the previous step's compute.
+    if per_head_grid:
+        grid = (b, h)
+        hb = 1
+        idx = lambda i, j: (i, j, 0, 0)  # noqa: E731
+        sem = ("parallel", "parallel")
+    else:
+        grid = (b,)
+        hb = h
+        idx = lambda i: (i, 0, 0, 0)  # noqa: E731
+        sem = ("parallel",)
+    kern = functools.partial(_mha_kernel, n_valid=n, scale=scale, heads=hb)
+    try:
+        params = pltpu.CompilerParams(dimension_semantics=sem)
+    except TypeError:  # interpret path / older plugin without the field
+        params = None
     out = pl.pallas_call(
         kern,
-        grid=(b,),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, npad, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, d, npad), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, npad, d), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, npad, d), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, d, npad), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, npad, d), idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, npad, d), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, hb, npad, d), idx,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, npad, d), q.dtype),
         interpret=interpret,
+        **({"compiler_params": params} if params is not None else {}),
     )(qt, kt, vt)
     return jnp.swapaxes(out, 1, 2)[:, :n]  # (B, N, H, D)

@@ -35,6 +35,19 @@ def test_fused_matches_einsum_f32(rng, b, n, h, d):
     np.testing.assert_allclose(got, ref, atol=2e-4)
 
 
+def test_per_head_grid_matches_batch_grid(rng):
+    """The (B, H) per-head grid variant computes identically to the
+    batch-grid default (both measured on chip; batch-grid ships)."""
+    b, n, h, d = 2, 197, 4, 64
+    q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.float32)
+               for _ in range(3))
+    scale = d ** -0.5
+    base = np.asarray(fused_mha(q, k, v, scale=scale, interpret=True))
+    got = np.asarray(fused_mha(q, k, v, scale=scale, interpret=True,
+                               per_head_grid=True))
+    np.testing.assert_array_equal(got, base)
+
+
 def test_fused_matches_einsum_bf16(rng):
     b, n, h, d = 2, 197, 12, 64
     q, k, v = (jnp.asarray(rng.normal(size=(b, n, h, d)), jnp.bfloat16)
